@@ -1,0 +1,67 @@
+"""Pipeline configuration.
+
+Mirrors the reference's TOML config surface (reference: config.toml:1-30,
+src/knowledge_graph/config.py:5-20) minus the LLM section (our extraction
+kernel is deterministic and local — no HTTP).  Loaded on the driver and
+captured by closure into Arrow UDFs as plain Python values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+try:  # py3.11+
+    import tomllib
+except ImportError:  # pragma: no cover
+    tomllib = None
+
+
+@dataclasses.dataclass(frozen=True)
+class KgConfig:
+    # chunking (reference defaults config.toml chunk_size=100 overlap=20;
+    # batch scripts override to 120/25: policy_kg_batch_generator.py:50-55)
+    chunk_size: int = 100
+    overlap: int = 20
+    # phase toggles (reference: main.py:282-286 CLI overrides)
+    standardization_enabled: bool = True
+    inference_enabled: bool = True
+    # deterministic stand-ins for the reference's LLM-gated branches
+    # (reference flags: standardization.use_llm_for_entities,
+    # inference.use_llm_for_inference — entity_standardization.py:179,240).
+    # OFF by default = the parity configuration (SURVEY §7.3).
+    lsh_linking_enabled: bool = False
+    # scale knobs
+    num_buckets: int = 64          # url-hash partition buckets
+    salt_partitions: int = 8       # salt fan-out for hot domains
+    hot_domain_threshold: int = 10_000  # pages per domain before salting
+    broadcast_map_max_rows: int = 5_000_000  # entity map broadcast cutoff
+    # MinHash-LSH linking parameters (scale path)
+    lsh_num_hashes: int = 24
+    lsh_bands: int = 8
+    lsh_jaccard_threshold: float = 0.6
+
+    @staticmethod
+    def from_toml(path: str) -> "KgConfig":
+        if tomllib is None:
+            raise RuntimeError("tomllib unavailable")
+        with open(path, "rb") as f:
+            raw: dict[str, Any] = tomllib.load(f)
+        chunking = raw.get("chunking", {})
+        std = raw.get("standardization", {})
+        inf = raw.get("inference", {})
+        scale = raw.get("scale", {})
+        return KgConfig(
+            chunk_size=int(chunking.get("chunk_size", 100)),
+            overlap=int(chunking.get("overlap", 20)),
+            standardization_enabled=bool(std.get("enabled", True)),
+            inference_enabled=bool(inf.get("enabled", True)),
+            lsh_linking_enabled=bool(std.get("lsh_linking", False)),
+            num_buckets=int(scale.get("num_buckets", 64)),
+            salt_partitions=int(scale.get("salt_partitions", 8)),
+            hot_domain_threshold=int(scale.get("hot_domain_threshold", 10_000)),
+            broadcast_map_max_rows=int(scale.get("broadcast_map_max_rows", 5_000_000)),
+            lsh_num_hashes=int(scale.get("lsh_num_hashes", 24)),
+            lsh_bands=int(scale.get("lsh_bands", 8)),
+            lsh_jaccard_threshold=float(scale.get("lsh_jaccard_threshold", 0.6)),
+        )

@@ -1,0 +1,109 @@
+"""Sentence splitting, CJK-aware word counting and chunking.
+
+Semantics replicate the reference exactly (byte-level chunk parity is a
+correctness invariant — chunk boundaries feed extraction downstream):
+
+* sentence split — reference src/knowledge_graph/text_utils.py:6-16
+  (newline insertion after 。!?！？ / six dots / three dots / quote-closed
+  sentence enders, then split + strip).
+* word count — text_utils.py:18-24: whitespace-token count PLUS one per
+  CJK char in U+4E00..U+9FFF (a token containing CJK is intentionally
+  double-counted; chunk boundaries depend on this quirk).
+* chunking — text_utils.py:26-87: paragraph-respecting, sentence-respecting
+  accumulation to ``chunk_size`` "words" with a fixed carry-over of the
+  last TWO sentences when ``overlap > 0`` (the overlap word-count value
+  only gates whether carry-over happens at all); oversize sentences are
+  emitted as standalone chunks with no carry.
+* normalize — text_utils.py:89-117 (exported for API parity).
+"""
+
+from __future__ import annotations
+
+import re
+
+_CJK_RE = re.compile(r"[\u4e00-\u9fff]")
+
+# Sentence-terminator newline inserters, applied in this exact order.
+# NB the reference's quote classes are ASCII-only ("\"" and "'"): verified
+# by byte inspection of text_utils.py:9,15 — no curly quotes.
+_SENT_RULES = (
+    (re.compile("([。!?！？])([^\"'])"), "\\1\n\\2"),
+    (re.compile("(\\.{6})([^\"'])"), "\\1\n\\2"),
+    (re.compile("(\\.{3})([^\"'])"), "\\1\n\\2"),
+    (re.compile("([。!?！？][\"'])([^，。！？!?])"), "\\1\n\\2"),
+)
+
+
+def split_sentences(text: str) -> list[str]:
+    """Split text into sentences (reference text_utils.py:6-16)."""
+    for pat, repl in _SENT_RULES:
+        text = pat.sub(repl, text)
+    return [s for s in (part.strip() for part in text.split("\n")) if s]
+
+
+def count_words(text: str) -> int:
+    """CJK-aware word count (reference text_utils.py:18-24)."""
+    return len(text.split()) + len(_CJK_RE.findall(text))
+
+
+def chunk_text(
+    text: str,
+    max_length: int = 100,
+    overlap: int = 20,
+    respect_sentences: bool = True,
+    respect_paragraphs: bool = True,
+) -> list[str]:
+    """Chunk a document (reference text_utils.py:26-87, exact semantics).
+
+    Returns the list of chunk strings; chunk ids are assigned 1-based by
+    the caller (reference main.py:133-134).
+    """
+    if not text or not text.strip():
+        return []
+
+    if respect_paragraphs:
+        paragraphs = [p for p in (q.strip() for q in text.split("\n\n")) if p]
+    else:
+        paragraphs = [text]
+
+    chunks: list[str] = []
+    acc: list[str] = []   # sentences of the chunk being built
+    acc_len = 0
+    carry: list[str] = []  # last-two-sentence overlap buffer
+
+    for para in paragraphs:
+        for sent in (split_sentences(para) if respect_sentences else [para]):
+            n = count_words(sent)
+            if n > max_length:
+                # oversize sentence: flush accumulator, emit standalone
+                if acc:
+                    chunks.append(" ".join(acc))
+                    carry = acc[-2:] if len(acc) >= 2 else acc
+                chunks.append(sent)
+                acc, acc_len = [], 0
+                continue
+            if acc_len + n > max_length and acc:
+                chunks.append(" ".join(acc))
+                carry = acc[-2:] if len(acc) >= 2 else acc
+                acc = list(carry) if overlap > 0 else []
+                acc_len = sum(count_words(s) for s in acc)
+            acc.append(sent)
+            acc_len += n
+
+    if acc:
+        chunks.append(" ".join(acc))
+    return chunks
+
+
+def normalize_text(text: str) -> str:
+    """Text normalization (reference text_utils.py:89-117)."""
+    if not text:
+        return ""
+    text = re.sub(r"[\r\n]+", "\n", text)
+    text = re.sub(r"\s+", " ", text)
+    text = re.sub(r"[\u200b\ufeff]", "", text)
+    # reference text_utils.py:110-111 "unify quotes" use ASCII-only char
+    # classes (verified by byte inspection) \u2192 literal no-ops; omitted.
+    text = re.sub(r"\.{3,}", "...", text)
+    text = re.sub(r"([。!?！？])\s*([^\"'\n])", r"\1 \2", text)
+    return text.strip()
