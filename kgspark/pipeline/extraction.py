@@ -1,0 +1,60 @@
+"""Triple extraction stage: (url, chunk_id, chunk_text) → raw triples.
+
+Arrow UDF around the deterministic pattern kernel
+(kgspark.kernels.triple_extract — replaces reference main.py:19-97 LLM
+call), exploded to one row per triple with a dense per-document order
+column ``seq`` (needed to replicate the reference's list-order-dependent
+"last predicate wins" and dedup semantics — SURVEY §4 determinism row)
+computed WITHOUT a shuffle: seq = chunk_id * 2^20 + position-in-chunk,
+strictly increasing in (chunk_id, pos).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from kgspark.kernels.triple_extract import extract_triples
+
+_TRIPLE_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("subject", T.StringType()),
+            T.StructField("predicate", T.StringType()),
+            T.StructField("object", T.StringType()),
+        ]
+    )
+)
+
+_SEQ_BASE = 1 << 20  # triples per chunk never approach this
+
+
+@F.pandas_udf(_TRIPLE_T)
+def extract_triples_udf(chunks: pd.Series) -> pd.Series:
+    return chunks.map(lambda c: [(t["subject"], t["predicate"], t["object"])
+                                 for t in extract_triples(c or "")])
+
+
+def extract_raw_triples(chunks: DataFrame) -> DataFrame:
+    keep = [c for c in chunks.columns if c in ("url", "bucket")]
+    exploded = chunks.select(
+        *keep,
+        F.col("chunk_id"),
+        F.posexplode(extract_triples_udf(F.col("chunk_text"))).alias("_pos", "t"),
+    )
+    return (
+        exploded.select(
+            *keep,
+            "chunk_id",
+            (F.col("chunk_id").cast("long") * F.lit(_SEQ_BASE) + F.col("_pos")).alias("seq"),
+            F.trim(F.col("t.subject")).alias("subject"),
+            F.trim(F.col("t.predicate")).alias("predicate"),
+            F.trim(F.col("t.object")).alias("object"),
+        )
+        # validation semantics: all three fields required non-empty
+        # (reference main.py:79-87)
+        .filter(
+            (F.col("subject") != "") & (F.col("predicate") != "") & (F.col("object") != "")
+        )
+        .withColumnRenamed("chunk_id", "chunk")
+    )

@@ -1,0 +1,146 @@
+"""Corpus-scale entity linking: MinHash-LSH candidate generation +
+exact-verify + connected-components canonicalization.
+
+This is the scale path the north rule names ("TF-IDF/MinHash-LSH entity
+linking with connected-components canonicalization") — the deterministic
+stand-in for the reference's LLM entity-resolution branch
+(entity_standardization.py:384-456, use_llm_for_entities flag).  It is
+config-gated OFF in the parity configuration and ON for corpus-scale runs.
+
+Design (all JVM-side, no Python):
+  1. tokenize entity names (words + char-3-gram shingles)
+  2. k independent min-hashes via ``xxhash64(token, seed_i)``
+  3. band the signature; bucket id = hash of the band slice
+  4. equi-join on (band, bucket) → candidate pairs (skew-bounded: bucket
+     sizes are capped by banding; AQE skew-join handles residual hotspots)
+  5. exact verify: token-set Jaccard ≥ threshold
+  6. connected components over accepted pairs → canonical representative
+     per component picked by (max frequency, min length, lexical) — the
+     same rule as phase-2's O-14 pick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kgspark.config import KgConfig
+from kgspark.pipeline.graph import connected_components
+
+
+def _tokens(col):
+    words = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(1))),
+        lambda i: padded.substr(i, F.lit(3)),
+    )
+    return F.array_distinct(F.concat(words, grams))
+
+
+def minhash_signatures(ents: DataFrame, entity_col: str, num_hashes: int) -> DataFrame:
+    """(entity, sig array<long>) via per-seed min over token hashes."""
+    toks = ents.select(
+        F.col(entity_col).alias("entity"),
+        F.explode(_tokens(F.col(entity_col))).alias("tok"),
+    )
+    aggs = [
+        F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = toks.groupBy("entity").agg(*aggs)
+    return sig.select(
+        "entity", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(ents: DataFrame, entity_col: str, cfg: KgConfig) -> DataFrame:
+    """Candidate (e1, e2) pairs sharing at least one LSH band bucket."""
+    rows_per_band = max(1, cfg.lsh_num_hashes // cfg.lsh_bands)
+    sig = minhash_signatures(ents, entity_col, cfg.lsh_num_hashes)
+    bands = sig.select(
+        "entity",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda h: h.cast("string"),
+                        ),
+                        "_",
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = bands.select(F.col("band").alias("b1"), F.col("bucket").alias("k1"),
+                        F.col("entity").alias("e1"))
+    right = bands.select(F.col("band").alias("b2"), F.col("bucket").alias("k2"),
+                         F.col("entity").alias("e2"))
+    return (
+        left.join(right, (left["b1"] == right["b2"]) & (left["k1"] == right["k2"])
+                  & (left["e1"] < right["e2"]))
+        .select("e1", "e2")
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact token-set Jaccard on candidate pairs."""
+    t1, t2 = _tokens(F.col("e1")), _tokens(F.col("e2"))
+    inter = F.size(F.array_intersect(t1, t2)).cast("double")
+    union = F.size(F.array_union(t1, t2)).cast("double")
+    return pairs.withColumn("jaccard", inter / union).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def link_entities(triples: DataFrame, cfg: KgConfig) -> DataFrame:
+    """Corpus-wide (variant → canonical) map via LSH + CC.
+
+    Input: triples with subject/object columns.  Output: (variant, canon).
+    """
+    ents = (
+        triples.select(F.explode(F.array("subject", "object")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    pairs = verify_jaccard(
+        lsh_candidate_pairs(ents.select("entity"), "entity", cfg),
+        cfg.lsh_jaccard_threshold,
+    )
+    comp = connected_components(pairs.select("e1", "e2"), src="e1", dst="e2")
+    # canonical pick per component: most frequent, then shortest, then lexical
+    with_cnt = comp.join(ents, comp["node"] == ents["entity"]).select(
+        "component", "node", "cnt"
+    )
+    canon = with_cnt.groupBy("component").agg(
+        F.min_by(
+            "node", F.struct((-F.col("cnt")).alias("nc"), F.length("node"), F.col("node"))
+        ).alias("canon")
+    )
+    out = (
+        comp.join(canon, "component")
+        .select(F.col("node").alias("variant"), "canon")
+        .filter(F.col("variant") != F.col("canon"))
+    )
+    ents.unpersist()
+    return out
+
+
+def apply_linking(triples: DataFrame, link_map: DataFrame) -> DataFrame:
+    """Rewrite subject/object through the (variant → canon) map."""
+    ms = link_map.select(F.col("variant").alias("_vs"), F.col("canon").alias("_cs"))
+    mo = link_map.select(F.col("variant").alias("_vo"), F.col("canon").alias("_co"))
+    out = (
+        triples.join(ms, triples["subject"] == ms["_vs"], "left")
+        .join(mo, triples["object"] == mo["_vo"], "left")
+    )
+    keep = [c for c in triples.columns if c not in ("subject", "object")]
+    return out.select(
+        *keep,
+        F.coalesce("_cs", "subject").alias("subject"),
+        F.coalesce("_co", "object").alias("object"),
+    ).filter(F.col("subject") != F.col("object"))

@@ -1,0 +1,173 @@
+"""End-to-end pipeline driver + manifest-based idempotent resume.
+
+Pipeline (SURVEY §3 EP-1/EP-2 restated on Spark):
+
+  pages →(Arrow UDF extract_text)→ text →(Arrow UDF chunk, posexplode)→
+  chunks →(Arrow UDF pattern extraction, posexplode)→ raw triples
+  →(phase 2 joins/windows)→ standardized →(phase 3 joins)→ final triples
+  → parquet/Iceberg sinks (triples, entities, edges) + manifests
+
+Resume contract (reference analog: completed-year scan + skip at
+policy_kg_batch_generator.py:87-99,196-210): work is partitioned by
+url-hash bucket; a bucket with a ``status='success'`` manifest row for the
+final stage is skipped on rerun (anti-join), so a killed run resumes
+idempotently and the final table equals an uninterrupted run's.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from kgspark.config import KgConfig
+from kgspark.pipeline import chunking, extraction, inference, ingest, linking, standardize
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("rows_in", T.LongType()),
+        T.StructField("rows_out", T.LongType()),
+        T.StructField("started_at", T.DoubleType()),
+        T.StructField("finished_at", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True) -> DataFrame:
+    """pages → final triples DataFrame (no I/O)."""
+    if from_html:
+        pages = ingest.with_extracted_text(pages)
+    chunks = chunking.chunk_pages(pages, cfg.chunk_size, cfg.overlap)
+    raw = extraction.extract_raw_triples(chunks)
+    out = raw
+    if cfg.standardization_enabled:
+        out = standardize.standardize(out)
+    else:
+        out = out.withColumn("chunk", F.coalesce("chunk", F.lit(0)).cast("int"))
+    if cfg.inference_enabled:
+        out = inference.infer(out)
+    else:
+        out = out.withColumn("inferred", F.lit(False)) \
+                 .select("url", "subject", "predicate", "object", "chunk", "seq", "inferred")
+    if cfg.lsh_linking_enabled:
+        out = linking.apply_linking(out, linking.link_entities(out, cfg))
+    return out
+
+
+def entities_table(triples: DataFrame) -> DataFrame:
+    """(entity, mention count, degree) — derived sets, reference
+    main.py:188-206 / analyze_kg_data.py:31-40."""
+    mentions = (
+        triples.select(F.explode(F.array("subject", "object")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count("*").alias("mentions"))
+    )
+    und = (
+        triples.select(F.col("subject").alias("a"), F.col("object").alias("b"))
+        .union(triples.select(F.col("object").alias("a"), F.col("subject").alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("entity")).agg(F.count("*").alias("degree"))
+    return mentions.join(deg, "entity", "left").na.fill({"degree": 0})
+
+
+def edges_table(triples: DataFrame) -> DataFrame:
+    return triples.select(
+        F.col("subject").alias("src"), F.col("object").alias("dst"), "predicate", "inferred"
+    ).distinct()
+
+
+def _completed_buckets(spark: SparkSession, manifest_path: str, stage: str) -> DataFrame:
+    try:
+        m = spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path)
+    except Exception:
+        return spark.createDataFrame([], "bucket int")
+    return (
+        m.filter((F.col("stage") == stage) & (F.col("status") == "success"))
+        .select("bucket")
+        .distinct()
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    cfg: KgConfig | None = None,
+    from_html: bool = True,
+    force: bool = False,
+) -> dict:
+    """Resumable batch job: process pending url-hash buckets, append
+    per-bucket triples + manifest rows, rebuild entities/edges tables."""
+    cfg = cfg or KgConfig()
+    run_id = uuid.uuid4().hex[:12]
+    triples_path = os.path.join(out_dir, "triples")
+    manifest_path = os.path.join(out_dir, "manifests")
+
+    pages = ingest.with_bucket(ingest.read_pages(spark, pages_path), cfg.num_buckets)
+    if not force:
+        done = _completed_buckets(spark, manifest_path, "triples")
+        pages = pages.join(done, "bucket", "left_anti")
+    pages = ingest.repartition_salted(pages, cfg)
+
+    t0 = time.time()
+    n_pages = pages.count()
+    if n_pages == 0:
+        return {"run_id": run_id, "pages": 0, "triples": 0, "buckets": 0, "seconds": 0.0}
+
+    triples = build_triples(pages, cfg, from_html=from_html)
+    # carry the bucket through for partitioned write + lineage
+    bucketed = triples.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int")
+    ).persist()
+    # dynamic partition overwrite: a bucket interrupted before its manifest
+    # row landed is rewritten (not duplicated) on resume — idempotence
+    (
+        bucketed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(triples_path)
+    )
+
+    per_bucket = (
+        bucketed.groupBy("bucket").agg(F.count("*").alias("rows_out")).collect()
+    )
+    t1 = time.time()
+    in_per_bucket = {
+        r["bucket"]: r["cnt"]
+        for r in pages.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    manifest_rows = [
+        (run_id, "triples", int(r["bucket"]), int(in_per_bucket.get(r["bucket"], 0)),
+         int(r["rows_out"]), t0, t1, "success")
+        for r in per_bucket
+    ]
+    # buckets that had pages but produced zero triples still complete
+    seen = {int(r["bucket"]) for r in per_bucket}
+    for bkt, cnt in in_per_bucket.items():
+        if int(bkt) not in seen:
+            manifest_rows.append((run_id, "triples", int(bkt), int(cnt), 0, t0, t1, "success"))
+    spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode("append").parquet(
+        manifest_path
+    )
+
+    # entities/edges rebuilt over the full triples table (cheap aggregations)
+    full = spark.read.parquet(triples_path)
+    entities_table(full).write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))
+    edges_table(full).write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
+
+    n_triples = sum(int(r["rows_out"]) for r in per_bucket)
+    bucketed.unpersist()
+    return {
+        "run_id": run_id,
+        "pages": n_pages,
+        "triples": n_triples,
+        "buckets": len(manifest_rows),
+        "seconds": t1 - t0,
+    }

@@ -1,0 +1,133 @@
+"""Phase 2 — entity standardization as DataFrame operations.
+
+Reference: entity_standardization.py:40-188 (standardize_entities with
+use_llm_for_entities=False).  All stages are keyed by ``url`` — the
+reference pipeline is per-document (one doc per run), so every groupBy /
+window / join here carries ``url`` in its key: the work distributes across
+documents with no corpus-global shuffle or collect anywhere.
+
+Stage map (SURVEY §2.4):
+  O-11 entity extraction       → union + distinct
+  O-12 normalize-for-blocking  → norm_key expression (codegen'd)
+  O-13 blocking                → groupBy(url, normalized)
+  O-14 canonical pick          → window row_number with the reference's
+        exact tie-break (-count, len(entity), entity) — the lexical tail
+        reproduces Python's stable sort over the (-len, lex) presort
+  O-15 second-pass subset/stem → per-url rank self-join, last-write-wins
+        replayed via max_by(struct(i, j)); one-hop application only (the
+        reference does NOT transitively close — :160-162)
+  O-16 apply mapping           → two broadcast-able equi-joins
+  O-10 predicate limit, O-18 self-loop filter
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kgspark.pipeline.exprs import limit_predicate, norm_key, stem_set, word_set
+
+
+def build_entity_map(triples: DataFrame) -> DataFrame:
+    """(url, variant, std): the variant→standard mapping of phase 2."""
+    ents = (
+        triples.select("url", F.explode(
+            F.array(F.lower("subject"), F.lower("object"))).alias("entity"))
+        .groupBy("url", "entity")
+        .agg(F.count("*").alias("cnt"))  # occurrences as subject or object
+    )
+    blocked = ents.withColumn("norm", norm_key(F.col("entity"))).filter(F.col("norm") != "")
+
+    # O-14: canonical pick per block — order (-count, char-len, lexical)
+    w = Window.partitionBy("url", "norm").orderBy(
+        F.desc("cnt"), F.length("entity"), F.col("entity")
+    )
+    picked = blocked.withColumn("_rn", F.row_number().over(w))
+    std_of_block = picked.filter(F.col("_rn") == 1).select(
+        "url", "norm", F.col("entity").alias("std1")
+    )
+    map1 = blocked.join(std_of_block, ["url", "norm"]).select(
+        "url", F.col("entity").alias("variant"), "std1"
+    )
+
+    # O-15: second pass over distinct standard forms, per url.
+    forms = map1.select("url", F.col("std1").alias("form")).distinct()
+    rank_w = Window.partitionBy("url").orderBy(F.length("form"), F.col("form"))
+    ranked = forms.withColumn("idx", F.row_number().over(rank_w)).select(
+        "url", "form", "idx", word_set(F.col("form")).alias("ws")
+    ).withColumn("ss", stem_set(F.col("ws")))
+
+    a = ranked.select(
+        F.col("url").alias("u"), F.col("form").alias("e1"), F.col("idx").alias("i"),
+        F.col("ws").alias("w1"), F.col("ss").alias("s1"),
+    )
+    b = ranked.select(
+        F.col("url").alias("u2"), F.col("form").alias("e2"), F.col("idx").alias("j"),
+        F.col("ws").alias("w2"), F.col("ss").alias("s2"),
+    )
+    pairs = a.join(b, (a["u"] == b["u2"]) & (a["i"] < b["j"]))
+
+    sub12 = (F.size("w1") > 0) & (F.size(F.array_except("w1", "w2")) == 0)
+    sub21 = (F.size("w2") > 0) & (F.size(F.array_except("w2", "w1")) == 0)
+    shared = F.array_intersect("s1", "s2")
+    stem_hit = (F.size(shared) > 0) & (
+        F.size(shared) / F.greatest(F.size("s1"), F.size("s2")) > 0.5
+    )
+    # (len,lex) rank order guarantees len(e1) <= len(e2), so the stem case
+    # always remaps e2 → e1 (reference :153-158 with sorted order).
+    resolved = pairs.select(
+        F.col("u").alias("url"), "i", "j",
+        F.when(sub12, F.struct(F.col("e2").alias("target"), F.col("e1").alias("std2")))
+        .when(sub21, F.struct(F.col("e1").alias("target"), F.col("e2").alias("std2")))
+        .when(stem_hit, F.struct(F.col("e2").alias("target"), F.col("e1").alias("std2")))
+        .alias("m"),
+    ).filter(F.col("m").isNotNull()).select("url", "i", "j", "m.target", "m.std2")
+
+    # dict-overwrite replay: the LAST write in (i, j) scan order wins
+    extra = resolved.groupBy("url", "target").agg(
+        F.max_by("std2", F.struct("i", "j")).alias("std2")
+    )
+
+    # one-hop application on exact-key match only (reference :160-162)
+    return (
+        map1.join(
+            extra,
+            (map1["url"] == extra["url"]) & (map1["variant"] == extra["target"]),
+            "left",
+        )
+        .select(map1["url"], "variant", F.coalesce("std2", "std1").alias("std"))
+    )
+
+
+def apply_entity_map(triples: DataFrame, entity_map: DataFrame,
+                     broadcast_map: bool = True) -> DataFrame:
+    """O-16: rewrite subject/object via the mapping; predicate limit;
+    default chunk 0; drop self-loops (reference :164-186)."""
+    m = F.broadcast(entity_map) if broadcast_map else entity_map
+    ms = m.select(F.col("url").alias("_us"), F.col("variant").alias("_vs"),
+                  F.col("std").alias("_std_s"))
+    mo = m.select(F.col("url").alias("_uo"), F.col("variant").alias("_vo"),
+                  F.col("std").alias("_std_o"))
+    out = (
+        triples.join(
+            ms, (triples["url"] == ms["_us"]) & (F.lower(triples["subject"]) == ms["_vs"]),
+            "left")
+        .join(mo, (triples["url"] == mo["_uo"]) & (F.lower(triples["object"]) == mo["_vo"]),
+              "left")
+    )
+    keep = [c for c in triples.columns if c not in ("subject", "predicate", "object", "chunk")]
+    return (
+        out.select(
+            *[triples[c] for c in keep],
+            F.coalesce("_std_s", triples["subject"]).alias("subject"),
+            limit_predicate(triples["predicate"]).alias("predicate"),
+            F.coalesce("_std_o", triples["object"]).alias("object"),
+            (F.coalesce(triples["chunk"], F.lit(0)) if "chunk" in triples.columns
+             else F.lit(0)).cast("int").alias("chunk"),
+        )
+        .filter(F.col("subject") != F.col("object"))
+    )
+
+
+def standardize(triples: DataFrame, broadcast_map: bool = True) -> DataFrame:
+    """Full phase 2: build the per-url entity map and apply it."""
+    return apply_entity_map(triples, build_entity_map(triples), broadcast_map)

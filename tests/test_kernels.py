@@ -1,0 +1,134 @@
+"""Unit tests for the deterministic kernels (SURVEY §5.2 item 1)."""
+
+from __future__ import annotations
+
+import random
+
+from kgspark.datagen import generate_rows, make_doc
+from kgspark.kernels.html_extract import extract_text, render_page
+from kgspark.kernels.textproc import chunk_text, count_words, split_sentences
+from kgspark.kernels.triple_extract import extract_triples
+
+
+class TestSentenceSplit:
+    def test_basic_enders(self):
+        assert split_sentences("你好。世界！再见？done") == ["你好。", "世界！", "再见？", "done"]
+        # ender+quote is skipped by rule 1 but split after the quote by rule 4
+        assert split_sentences('said。"next') == ['said。"', "next"]
+
+    def test_ellipsis(self):
+        assert split_sentences("wait... then go。x") == ["wait...", "then go。", "x"]
+        # rule 3 re-splits the six-dot run after rule 2 (reference behavior)
+        assert split_sentences("wait......then") == ["wait...", "...", "then"]
+
+    def test_quote_terminated(self):
+        # rule 4: ender+quote followed by non-punctuation splits
+        assert split_sentences('he said "stop!" and left。') == ['he said "stop!"', 'and left。']
+
+
+class TestCountWords:
+    def test_english(self):
+        assert count_words("one two  three") == 3
+
+    def test_cjk_double_count(self):
+        # a whitespace token containing CJK counts once as a token AND once
+        # per CJK char (reference text_utils.py:18-24 quirk)
+        assert count_words("香港") == 3  # 1 token + 2 chars
+        assert count_words("a 香港 b") == 5  # 3 tokens + 2 chars
+
+
+class TestChunker:
+    def test_empty(self):
+        assert chunk_text("") == []
+        assert chunk_text("   \n\n  ") == []
+
+    def test_single_short(self):
+        assert chunk_text("short sentence。", max_length=100) == ["short sentence。"]
+
+    def test_two_sentence_overlap(self):
+        text = "one two three four。 five six seven eight。 nine ten eleven twelve。 a b c d。"
+        chunks = chunk_text(text, max_length=8, overlap=5)
+        # every chunk after the first starts with the previous chunk's
+        # last (≤2) sentences
+        assert len(chunks) >= 2
+        for prev, nxt in zip(chunks, chunks[1:]):
+            prev_sents = split_sentences(prev)
+            carry = prev_sents[-2:] if len(prev_sents) >= 2 else prev_sents
+            assert nxt.startswith(" ".join(carry))
+
+    def test_no_overlap_when_zero(self):
+        text = "one two three four。 five six seven eight。 nine ten eleven twelve。"
+        chunks = chunk_text(text, max_length=8, overlap=0)
+        joined = " ".join(chunks)
+        assert joined.count("five six") == 1
+
+    def test_oversize_standalone(self):
+        big = " ".join(["w"] * 50) + "。"
+        text = f"small one。\n\n{big}\n\nsmall two。"
+        chunks = chunk_text(text, max_length=10, overlap=5)
+        assert big in chunks  # emitted standalone, unsplit
+
+    def test_paragraph_respected(self):
+        text = "para one sentence。\n\npara two sentence。"
+        chunks = chunk_text(text, max_length=100, overlap=20)
+        # both fit in one chunk; paragraphs joined with ' '
+        assert chunks == ["para one sentence。 para two sentence。"]
+
+
+class TestHtmlExtract:
+    def test_roundtrip_fixture_docs(self):
+        rng = random.Random(3)
+        for lang in ("en", "zh", "mixed"):
+            for _ in range(20):
+                text = make_doc(rng, lang)
+                assert extract_text(render_page(text, title="t", lang=lang)) == text
+
+    def test_roundtrip_generated_rows(self):
+        for url, ts, html, text, lang in generate_rows(50, seed=9):
+            assert extract_text(html) == text, url
+
+    def test_boilerplate_stripped(self):
+        html = render_page("only the content。", title="TITLE HERE")
+        out = extract_text(html)
+        assert out == "only the content。"
+        assert "home" not in out and "banner" not in out and "TITLE" not in out
+
+    def test_cleanup_rules(self):
+        raw = b"<html><body><p>keep this</p><p>Page 3</p><p>---</p></body></html>"
+        assert extract_text(raw) == "keep this"
+
+    def test_null_and_junk(self):
+        assert extract_text(None) == ""
+        assert extract_text(b"\xff\xfe junk <p>x</p>") != ""
+
+
+class TestTripleExtract:
+    def test_en_svo(self):
+        ts = extract_triples("the steam engine powers the factory system。")
+        assert {"subject": "steam engine", "predicate": "powers",
+                "object": "factory system"} in ts
+
+    def test_multiword_relation(self):
+        ts = extract_triples("AI is part of modern technology。")
+        assert ts[0]["predicate"] == "is part of"
+        assert ts[0]["subject"] == "AI"
+
+    def test_zh(self):
+        ts = extract_triples("香港政府提出新政策。")
+        assert {"subject": "香港政府", "predicate": "提出", "object": "新政策"} in ts
+
+    def test_no_match(self):
+        assert extract_triples("nothing happening here at all。") == []
+        assert extract_triples("") == []
+
+    def test_deterministic(self):
+        doc = make_doc(random.Random(5), "mixed")
+        for chunk in chunk_text(doc):
+            assert extract_triples(chunk) == extract_triples(chunk)
+
+    def test_predicates_within_limit(self):
+        rng = random.Random(6)
+        for _ in range(30):
+            for chunk in chunk_text(make_doc(rng, "mixed")):
+                for t in extract_triples(chunk):
+                    assert len(t["predicate"].split()) <= 3
