@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG pipeline (html → chunks → deterministic
+pattern extraction → standardize → infer → top-predicates) on sf0.001.
+``queries``/``oracle_sql`` expose every implemented operator from
+SURVEY.md §2 plus the training-data ops; implementations live in
+``kgspark.querybank`` (Spark builders + exactly-equivalent DuckDB SQL).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from kgspark.config import KgConfig
+    from kgspark.pipeline.analytics import top_predicates
+    from kgspark.pipeline.runner import build_triples
+    from kgspark.querybank import _synth_pages
+
+    pages = _synth_pages(spark, "/root/testdata/sf0.001")
+    triples = build_triples(pages, KgConfig(), from_html=True)
+    return top_predicates(triples, k=20).select(
+        "predicate", F.col("cnt").cast("long").alias("cnt"), "pct"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kgspark.querybank import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgspark.querybank import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -39,9 +39,13 @@ def _tokens(col):
 
 def minhash_signatures(ents: DataFrame, entity_col: str, num_hashes: int) -> DataFrame:
     """(entity, sig array<long>) via per-seed min over token hashes."""
-    toks = ents.select(
-        F.col(entity_col).alias("entity"),
-        F.explode(_tokens(F.col(entity_col))).alias("tok"),
+    # two-step projection: computing the token array in its own Project
+    # avoids Spark 4.1's LateralColumnAliasReference internal error when the
+    # source column shares the output name
+    toks = (
+        ents.select(F.col(entity_col).alias("entity"))
+        .withColumn("_toks", _tokens(F.col("entity")))
+        .select("entity", F.explode("_toks").alias("tok"))
     )
     aggs = [
         F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)

@@ -56,6 +56,10 @@ def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True) -> Da
         out = out.withColumn("inferred", F.lit(False)) \
                  .select("url", "subject", "predicate", "object", "chunk", "seq", "inferred")
     if cfg.lsh_linking_enabled:
+        # cut lineage before the LSH self-join: the accumulated phase-1..3
+        # plan underneath would otherwise be re-analyzed (and re-executed)
+        # on both sides of every linking join
+        out = out.localCheckpoint(eager=False)
         out = linking.apply_linking(out, linking.link_entities(out, cfg))
     return out
 

@@ -1,0 +1,1349 @@
+"""Driver-contract query bank: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable with, where SQL-expressible, an
+exactly-equivalent DuckDB oracle query (same column names, same values).
+
+Three families:
+
+* ``kg_*``   — the KG operator semantics (SURVEY §2.4-2.6) run over a
+  triples relation derived RELATIONALLY from the TPC-H-ish tables
+  (kgspark.pipeline.relational), so DuckDB can replay the full derivation
+  → exact value-hash verification of standardization, inference, dedup,
+  connected components and every analytics operator.
+* ``doc_* / dedup_* / emb_* / mm_* / ev_*`` — training-data-pipeline
+  operators over the documents/embeddings/events tables.
+* ``pipe_*`` — the kernel path (html → chunk → extract → phases 2-3) over
+  the deterministic synthetic pages corpus (kgspark.datagen); not
+  SQL-replayable (Python kernels) → rows-only driver check, with deep
+  semantics covered by the pytest oracle suite instead.
+
+Conventions: every computed column is explicitly aliased identically in
+both engines; counts cast to BIGINT; floats rounded before ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kgspark.ops import dedupe, events as ev_ops, multimodal, similarity, textstats
+from kgspark.pipeline import analytics, inference, linking, relational, standardize
+from kgspark.pipeline.graph import connected_components
+
+# --------------------------------------------------------------------------
+# shared SQL fragments
+# --------------------------------------------------------------------------
+
+# all five relational triple families combined (exact mirror of
+# relational.geo_triples + supply_triples + event_triples + part_entities)
+ALL_TRIPLES_SQL = f"""
+    SELECT * FROM ({relational.GEO_TRIPLES_SQL})
+    UNION ALL {relational.SUPPLY_TRIPLES_SQL}
+    UNION ALL {relational.EVENT_TRIPLES_SQL}
+    UNION ALL {relational.PART_ENTITIES_SQL}
+"""
+
+_NORM_STOPS = "'the','a','an','of','and','or','in','on','at','to','for','with','by','as'"
+_PRED_STOPS = "'a','an','the','of','with','by','to','from','in','on','for'"
+
+# inline predicate-length limit (exprs.limit_predicate) over a column named
+# ``pred`` — assumes a prior CTE provides ``pw`` = whitespace words of pred
+_LIMIT_PRED_SQL = f"""
+    CASE WHEN len(pw) <= 3 THEN pred
+         WHEN lower(pw[3]) IN ({_PRED_STOPS}) THEN array_to_string(pw[1:2], ' ')
+         ELSE array_to_string(pw[1:3], ' ') END
+"""
+
+
+def _all_triples(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        relational.geo_triples(spark, sf)
+        .unionByName(relational.supply_triples(spark, sf))
+        .unionByName(relational.event_triples(spark, sf))
+        .unionByName(relational.part_entities(spark, sf))
+    )
+
+
+# --------------------------------------------------------------------------
+# kg_* — analytics operators (A-1..A-13)
+# --------------------------------------------------------------------------
+
+def q_kg_basic_stats(spark, sf):
+    return analytics.basic_stats(_all_triples(spark, sf)).select(
+        F.col("total_triples").cast("long").alias("total_triples"),
+        F.col("unique_subjects").cast("long").alias("unique_subjects"),
+        F.col("unique_predicates").cast("long").alias("unique_predicates"),
+        F.col("unique_objects").cast("long").alias("unique_objects"),
+        F.col("unique_entities").cast("long").alias("unique_entities"),
+    )
+
+
+SQL_KG_BASIC_STATS = f"""
+    WITH trip AS ({ALL_TRIPLES_SQL})
+    SELECT count(*)::BIGINT AS total_triples,
+           count(DISTINCT subject)::BIGINT AS unique_subjects,
+           count(DISTINCT predicate)::BIGINT AS unique_predicates,
+           count(DISTINCT object)::BIGINT AS unique_objects,
+           (SELECT count(DISTINCT e) FROM (
+               SELECT subject AS e FROM trip UNION ALL SELECT object FROM trip
+           ))::BIGINT AS unique_entities
+    FROM trip
+"""
+
+
+def q_kg_top_predicates(spark, sf):
+    return analytics.top_predicates(_all_triples(spark, sf), k=20).select(
+        "predicate", F.col("cnt").cast("long").alias("cnt"), "pct"
+    )
+
+
+SQL_KG_TOP_PREDICATES = f"""
+    WITH trip AS ({ALL_TRIPLES_SQL}),
+    c AS (SELECT predicate, count(*)::BIGINT AS cnt FROM trip GROUP BY predicate)
+    SELECT predicate, cnt,
+           round(cnt * 100.0 / (SELECT sum(cnt) FROM c), 4) AS pct
+    FROM c ORDER BY cnt DESC, predicate LIMIT 20
+"""
+
+
+def q_kg_entity_frequency(spark, sf):
+    return analytics.entity_frequency(_all_triples(spark, sf), k=20).select(
+        "entity", F.col("mentions").cast("long").alias("mentions")
+    )
+
+
+SQL_KG_ENTITY_FREQUENCY = f"""
+    WITH trip AS ({ALL_TRIPLES_SQL}),
+    e AS (SELECT subject AS entity FROM trip UNION ALL SELECT object FROM trip)
+    SELECT entity, count(*)::BIGINT AS mentions
+    FROM e GROUP BY entity ORDER BY mentions DESC, entity LIMIT 20
+"""
+
+
+def q_kg_role_histograms(spark, sf):
+    return analytics.role_histograms(_all_triples(spark, sf), k=10).select(
+        "role", "entity", F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_KG_ROLE_HISTOGRAMS = f"""
+    WITH trip AS ({ALL_TRIPLES_SQL}),
+    roles AS (
+        SELECT 'subject' AS role, subject AS entity FROM trip
+        UNION ALL SELECT 'object', object FROM trip),
+    c AS (SELECT role, entity, count(*)::BIGINT AS cnt FROM roles GROUP BY role, entity)
+    SELECT role, entity, cnt, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY role ORDER BY cnt DESC, entity)::BIGINT AS rank
+        FROM c) WHERE rank <= 10
+"""
+
+
+def q_kg_pair_patterns(spark, sf):
+    return analytics.pair_patterns(_all_triples(spark, sf), k=10).select(
+        "kind", "a", "b", F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_KG_PAIR_PATTERNS = f"""
+    WITH trip AS ({ALL_TRIPLES_SQL}),
+    pairs AS (
+        SELECT 'sp' AS kind, subject AS a, predicate AS b FROM trip
+        UNION ALL SELECT 'po', predicate, object FROM trip),
+    c AS (SELECT kind, a, b, count(*)::BIGINT AS cnt FROM pairs GROUP BY kind, a, b)
+    SELECT kind, a, b, cnt, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY kind ORDER BY cnt DESC, a, b)::BIGINT AS rank
+        FROM c) WHERE rank <= 10
+"""
+
+
+def q_kg_graph_metrics(spark, sf):
+    return analytics.graph_metrics(relational.geo_graph_triples(spark, sf)).select(
+        F.col("nodes").cast("long").alias("nodes"),
+        F.col("edges").cast("long").alias("edges"),
+        "density",
+    )
+
+
+SQL_KG_GRAPH_METRICS = f"""
+    WITH trip AS ({relational.GEO_GRAPH_TRIPLES_SQL}),
+    e AS (SELECT DISTINCT subject, object FROM trip),
+    n AS (SELECT DISTINCT x FROM (
+        SELECT subject AS x FROM trip UNION ALL SELECT object FROM trip))
+    SELECT (SELECT count(*) FROM n)::BIGINT AS nodes,
+           (SELECT count(*) FROM e)::BIGINT AS edges,
+           round((SELECT count(*) FROM e) /
+                 ((SELECT count(*) FROM n) * ((SELECT count(*) FROM n) - 1.0)), 6
+           ) AS density
+"""
+
+
+def q_kg_degree_centrality(spark, sf):
+    return analytics.degree_centrality(relational.geo_graph_triples(spark, sf), k=10).select(
+        "entity", F.col("degree").cast("long").alias("degree"), "centrality"
+    )
+
+
+SQL_KG_DEGREE_CENTRALITY = f"""
+    WITH trip AS ({relational.GEO_GRAPH_TRIPLES_SQL}),
+    und AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT subject AS a, object AS b FROM trip
+            UNION ALL SELECT object, subject FROM trip)),
+    deg AS (SELECT a AS entity, count(*)::BIGINT AS degree FROM und GROUP BY a)
+    SELECT entity, degree,
+           round(degree / greatest((SELECT count(*) FROM deg) - 1.0, 1.0), 6) AS centrality
+    FROM deg ORDER BY degree DESC, entity LIMIT 10
+"""
+
+
+def q_kg_chunk_distribution(spark, sf):
+    li = relational.load(spark, sf, "lineitem")
+    trip = li.select(
+        F.col("l_orderkey").cast("string").alias("url"),
+        (F.col("l_linenumber") % 3).cast("int").alias("chunk"),
+        F.col("l_linenumber").cast("long").alias("seq"),
+        F.lit("o").alias("subject"), F.lit("has").alias("predicate"),
+        F.col("l_partkey").cast("string").alias("object"),
+    )
+    return analytics.chunk_distribution(trip).select(
+        "avg_per_chunk",
+        F.col("max_per_chunk").cast("long").alias("max_per_chunk"),
+        F.col("min_per_chunk").cast("long").alias("min_per_chunk"),
+        F.col("chunks").cast("long").alias("chunks"),
+    )
+
+
+SQL_KG_CHUNK_DISTRIBUTION = """
+    WITH per AS (
+        SELECT l_orderkey, l_linenumber % 3 AS chunk, count(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY l_orderkey, l_linenumber % 3)
+    SELECT round(avg(cnt), 4) AS avg_per_chunk,
+           max(cnt)::BIGINT AS max_per_chunk,
+           min(cnt)::BIGINT AS min_per_chunk,
+           count(*)::BIGINT AS chunks
+    FROM per
+"""
+
+_THEMES = {
+    "nations": ["NATION"],
+    "asia": ["ASIA"],
+    "supply_chain": ["supplies", "widget"],
+    "users": ["user"],
+}
+
+
+def q_kg_topic_classification(spark, sf):
+    out = analytics.topic_classification(_all_triples(spark, sf), _THEMES)
+    return out.select(
+        F.col("total").cast("long").alias("total"),
+        *[F.col(t).cast("long").alias(t) for t in sorted(_THEMES)],
+    )
+
+
+def _theme_hit_sql(kws: list[str]) -> str:
+    text = "subject || ' ' || predicate || ' ' || object"
+    return " OR ".join(f"strpos({text}, '{kw}') > 0" for kw in kws)
+
+
+SQL_KG_TOPIC_CLASSIFICATION = f"""
+    WITH trip AS ({ALL_TRIPLES_SQL})
+    SELECT count(*)::BIGINT AS total,
+           {", ".join(
+               f"sum(CASE WHEN {_theme_hit_sql(kws)} THEN 1 ELSE 0 END)::BIGINT AS {t}"
+               for t, kws in sorted(_THEMES.items())
+           )}
+    FROM trip
+"""
+
+
+def q_kg_keyword_filter(spark, sf):
+    out = analytics.keyword_filter(
+        _all_triples(spark, sf),
+        subject_kws=["nation_1", "supplier#0000000"],
+        object_kws=["asia", "america", "widget"],
+    )
+    return out.select(
+        "url", F.col("chunk").cast("long").alias("chunk"),
+        F.col("seq").cast("long").alias("seq"), "subject", "predicate", "object",
+    )
+
+
+SQL_KG_KEYWORD_FILTER = f"""
+    WITH trip AS ({ALL_TRIPLES_SQL})
+    SELECT url, chunk::BIGINT AS chunk, seq::BIGINT AS seq,
+           subject, predicate, object
+    FROM trip
+    WHERE (strpos(lower(subject), 'nation_1') > 0
+           OR strpos(lower(subject), 'supplier#0000000') > 0)
+      AND (strpos(lower(object), 'asia') > 0
+           OR strpos(lower(object), 'america') > 0
+           OR strpos(lower(object), 'widget') > 0)
+"""
+
+_EV_THEMES = {"clicks": ["click"], "views": ["view"], "errors": ["error"]}
+
+
+def _event_period_triples(spark, sf):
+    evd = relational.load(spark, sf, "events")
+    trip = relational.event_triples(spark, sf)
+    periods = evd.select(
+        F.col("event_id").cast("long").alias("seq"),
+        F.date_format("ts", "yyyy-MM-dd").alias("period"),
+    )
+    return trip.join(periods, "seq")
+
+
+def q_kg_discourse_shift(spark, sf):
+    out = analytics.discourse_shift(
+        _event_period_triples(spark, sf), "period", _EV_THEMES, threshold=3.0
+    )
+    return out.select("period", "theme", "pct", "prev_pct", "delta", "shift_flag")
+
+
+def _ev_stacked_sql() -> str:
+    per_theme = ", ".join(
+        f"sum(CASE WHEN {_theme_hit_sql(kws)} THEN 1 ELSE 0 END) AS _{t}"
+        for t, kws in sorted(_EV_THEMES.items())
+    )
+    stack = " UNION ALL ".join(
+        f"SELECT period, '{t}' AS theme, round(_{t} * 100.0 / total, 4) AS pct FROM per"
+        for t in sorted(_EV_THEMES)
+    )
+    return f"""
+    trip0 AS ({relational.EVENT_TRIPLES_SQL}),
+    trip AS (
+        SELECT trip0.*, strftime(e.ts, '%Y-%m-%d') AS period
+        FROM trip0 JOIN events e ON trip0.seq = e.event_id),
+    per AS (
+        SELECT period, count(*) AS total, {per_theme}
+        FROM trip GROUP BY period),
+    stacked AS ({stack})
+    """
+
+
+SQL_KG_DISCOURSE_SHIFT = f"""
+    WITH {_ev_stacked_sql()}
+    SELECT period, theme, pct,
+           lag(pct) OVER (PARTITION BY theme ORDER BY period) AS prev_pct,
+           round(pct - lag(pct) OVER (PARTITION BY theme ORDER BY period), 4) AS delta,
+           CASE WHEN abs(round(pct - lag(pct) OVER (PARTITION BY theme ORDER BY period), 4)) > 3.0
+                THEN true ELSE false END AS shift_flag
+    FROM stacked
+"""
+
+_TRACKED = ["click", "user 3"]
+
+
+def q_kg_entity_tracking(spark, sf):
+    out = analytics.entity_tracking(_event_period_triples(spark, sf), "period", _TRACKED)
+    return out.select(
+        "period", F.col("total").cast("long").alias("total"),
+        *[F.col(e.replace(" ", "_")).cast("long").alias(e.replace(" ", "_"))
+          for e in _TRACKED],
+    )
+
+
+SQL_KG_ENTITY_TRACKING = f"""
+    WITH trip0 AS ({relational.EVENT_TRIPLES_SQL}),
+    trip AS (
+        SELECT trip0.*, strftime(e.ts, '%Y-%m-%d') AS period
+        FROM trip0 JOIN events e ON trip0.seq = e.event_id)
+    SELECT period, count(*)::BIGINT AS total,
+           {", ".join(
+               "sum(CASE WHEN strpos(lower(subject), '" + e + "') > 0"
+               " OR strpos(lower(object), '" + e + "') > 0"
+               " THEN 1 ELSE 0 END)::BIGINT AS " + e.replace(" ", "_")
+               for e in _TRACKED
+           )}
+    FROM trip GROUP BY period
+"""
+
+
+# --------------------------------------------------------------------------
+# kg_* — phase 2/3 operator semantics (O-10..O-25) with exact SQL replays
+# --------------------------------------------------------------------------
+
+def q_kg_standardize_map(spark, sf):
+    """O-11..O-15: the (variant -> standard) entity map over styled event
+    variants (case / stopword / plural / compound planted by
+    relational.event_triples)."""
+    return standardize.build_entity_map(relational.event_triples(spark, sf)).select(
+        "url", "variant", "std"
+    )
+
+
+# exact replay of standardize.build_entity_map: blocking-normalize ->
+# per-block canonical pick (-count, len, lex) -> second-pass subset/stem
+# merge with last-write-wins in (i, j) scan order -> one-hop application
+_STD_MAP_CTES = f"""
+    trip AS ({relational.EVENT_TRIPLES_SQL}),
+    ents AS (
+        SELECT url, entity, count(*) AS cnt FROM (
+            SELECT url, lower(subject) AS entity FROM trip
+            UNION ALL SELECT url, lower(object) FROM trip)
+        GROUP BY url, entity),
+    blocked AS (
+        SELECT url, entity, cnt,
+            array_to_string(list_filter(
+                regexp_extract_all(lower(entity), '\\w+'),
+                t -> t NOT IN ({_NORM_STOPS})), ' ') AS norm
+        FROM ents),
+    blocked2 AS (SELECT * FROM blocked WHERE norm <> ''),
+    picked AS (
+        SELECT url, norm, entity AS std1 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY url, norm
+                ORDER BY cnt DESC, length(entity), entity) AS rn
+            FROM blocked2) WHERE rn = 1),
+    map1 AS (
+        SELECT b.url, b.entity AS variant, p.std1
+        FROM blocked2 b JOIN picked p ON b.url = p.url AND b.norm = p.norm),
+    forms AS (SELECT DISTINCT url, std1 AS form FROM map1),
+    ranked AS (
+        SELECT url, form,
+            row_number() OVER (PARTITION BY url ORDER BY length(form), form) AS idx,
+            list_distinct(list_filter(
+                string_split_regex(form, '\\s+'), w -> w <> '')) AS ws
+        FROM forms),
+    ranked2 AS (
+        SELECT *, list_distinct(list_transform(
+            list_filter(ws, w -> length(w) > 4), w -> substr(w, 1, 4))) AS ss
+        FROM ranked),
+    pairs AS (
+        SELECT a.url, a.form AS e1, a.idx AS i, a.ws AS w1, a.ss AS s1,
+               b.form AS e2, b.idx AS j, b.ws AS w2, b.ss AS s2
+        FROM ranked2 a JOIN ranked2 b ON a.url = b.url AND a.idx < b.idx),
+    resolved AS (
+        SELECT url, i, j,
+            CASE WHEN len(w1) > 0 AND list_has_all(w2, w1) THEN e2
+                 WHEN len(w2) > 0 AND list_has_all(w1, w2) THEN e1
+                 WHEN len(list_intersect(s1, s2)) > 0
+                      AND len(list_intersect(s1, s2)) * 1.0
+                          / nullif(greatest(len(s1), len(s2)), 0) > 0.5 THEN e2
+            END AS target,
+            CASE WHEN len(w1) > 0 AND list_has_all(w2, w1) THEN e1
+                 WHEN len(w2) > 0 AND list_has_all(w1, w2) THEN e2
+                 WHEN len(list_intersect(s1, s2)) > 0
+                      AND len(list_intersect(s1, s2)) * 1.0
+                          / nullif(greatest(len(s1), len(s2)), 0) > 0.5 THEN e1
+            END AS std2
+        FROM pairs),
+    extra AS (
+        SELECT url, target, arg_max(std2, i * 1000000 + j) AS std2
+        FROM resolved WHERE target IS NOT NULL GROUP BY url, target),
+    std_map AS (
+        SELECT m.url, m.variant, coalesce(e.std2, m.std1) AS std
+        FROM map1 m
+        LEFT JOIN extra e ON m.url = e.url AND m.variant = e.target)
+"""
+
+SQL_KG_STANDARDIZE_MAP = f"""
+    WITH {_STD_MAP_CTES}
+    SELECT url, variant, std FROM std_map
+"""
+
+
+def q_kg_standardized_triples(spark, sf):
+    """O-16/O-10/O-18: phase-2 output triples (map applied, predicate
+    limited, self-loops dropped, chunk defaulted)."""
+    return standardize.standardize(relational.event_triples(spark, sf)).select(
+        "url", F.col("seq").cast("long").alias("seq"), "subject", "predicate",
+        "object", F.col("chunk").cast("long").alias("chunk"),
+    )
+
+
+SQL_KG_STANDARDIZED_TRIPLES = f"""
+    WITH {_STD_MAP_CTES}
+    SELECT t.url, t.seq::BIGINT AS seq,
+           coalesce(ms.std, t.subject) AS subject,
+           t.predicate AS predicate,
+           coalesce(mo.std, t.object) AS object,
+           t.chunk::BIGINT AS chunk
+    FROM trip t
+    LEFT JOIN std_map ms ON t.url = ms.url AND lower(t.subject) = ms.variant
+    LEFT JOIN std_map mo ON t.url = mo.url AND lower(t.object) = mo.variant
+    WHERE coalesce(ms.std, t.subject) <> coalesce(mo.std, t.object)
+"""
+
+
+def q_kg_transitive_inference(spark, sf):
+    """O-23 over the customer->nation->region chain graph."""
+    return inference.transitive_inference(
+        relational.geo_graph_triples(spark, sf)
+    ).select("url", "subject", "predicate", "object")
+
+
+SQL_KG_TRANSITIVE = f"""
+    WITH trip AS ({relational.GEO_GRAPH_TRIPLES_SQL}),
+    edges AS (
+        SELECT url, subject, object, arg_max(predicate, seq) AS pred
+        FROM trip GROUP BY url, subject, object),
+    paths AS (
+        SELECT a.url, a.subject AS A, a.object AS B, a.pred AS p1,
+               b.object AS C, b.pred AS p2
+        FROM edges a JOIN edges b
+          ON a.url = b.url AND a.object = b.subject AND a.subject <> b.object),
+    new_paths AS (
+        SELECT p.* FROM paths p
+        ANTI JOIN edges e ON p.url = e.url AND p.A = e.subject AND p.C = e.object),
+    preds AS (
+        SELECT url, A, C,
+            CASE WHEN p1 = p2 THEN 'indirectly ' || p1
+                 ELSE p1 || ' via ' || B END AS pred
+        FROM new_paths),
+    limited AS (
+        SELECT url, A, C, pred,
+            list_filter(string_split_regex(pred, '\\s+'), w -> w <> '') AS pw
+        FROM preds)
+    SELECT DISTINCT url, A AS subject, {_LIMIT_PRED_SQL} AS predicate, C AS object
+    FROM limited
+"""
+
+
+def q_kg_lexical_inference(spark, sf):
+    """O-24 over the part-name entity sample (shared-word + containment)."""
+    return inference.lexical_inference(relational.part_entities(spark, sf)).select(
+        "url", "subject", "predicate", "object"
+    )
+
+
+def _lexical_sql(triples_sql: str) -> str:
+    """O-24 replay: pair enumeration (e1 < e2), skip connected, shared-word
+    pick = longest-then-smallest, three-branch emission (reference
+    entity_standardization.py:664-755; Spark twin
+    kgspark.pipeline.inference.lexical_inference)."""
+    return f"""
+    WITH trip AS ({triples_sql}),
+    ents AS (
+        SELECT DISTINCT url, entity FROM (
+            SELECT url, subject AS entity FROM trip
+            UNION ALL SELECT url, object FROM trip)),
+    pairs0 AS (
+        SELECT a.url, a.entity AS e1, b.entity AS e2
+        FROM ents a JOIN ents b ON a.url = b.url AND a.entity < b.entity),
+    edges AS (SELECT DISTINCT url, subject AS s, object AS o FROM trip),
+    pairs1 AS (
+        SELECT p.* FROM pairs0 p
+        ANTI JOIN edges e ON p.url = e.url AND p.e1 = e.s AND p.e2 = e.o),
+    pairs AS (
+        SELECT p.* FROM pairs1 p
+        ANTI JOIN edges e ON p.url = e.url AND p.e2 = e.s AND p.e1 = e.o),
+    wsets AS (
+        SELECT url, e1, e2, lower(e1) AS l1, lower(e2) AS l2,
+            list_distinct(list_filter(
+                string_split_regex(lower(e1), '\\s+'), w -> w <> '')) AS w1,
+            list_distinct(list_filter(
+                string_split_regex(lower(e2), '\\s+'), w -> w <> '')) AS w2
+        FROM pairs),
+    shared AS (
+        SELECT url, e1, e2, l1, l2,
+            len(list_intersect(w1, w2)) > 0 AS has_shared,
+            coalesce((
+                SELECT w FROM (
+                    SELECT unnest(list_intersect(w1, w2)) AS w)
+                ORDER BY length(w) DESC, w ASC LIMIT 1), '') AS main
+        FROM wsets),
+    emitted AS (
+        SELECT url,
+            CASE
+              WHEN has_shared THEN
+                CASE WHEN length(main) >= 4 THEN
+                    CASE WHEN starts_with(l1, main) AND NOT starts_with(l2, main)
+                           THEN struct_pack(s := e2, p := 'relates to', o := e1)
+                         WHEN starts_with(l2, main) AND NOT starts_with(l1, main)
+                           THEN struct_pack(s := e1, p := 'relates to', o := e2)
+                         ELSE struct_pack(s := e1, p := 'related to', o := e2)
+                    END
+                END
+              WHEN strpos(l2, l1) > 0
+                THEN struct_pack(s := e2, p := 'is type of', o := e1)
+              WHEN strpos(l1, l2) > 0
+                THEN struct_pack(s := e1, p := 'is type of', o := e2)
+            END AS t
+        FROM shared)
+    SELECT url, t.s AS subject, t.p AS predicate, t.o AS object
+    FROM emitted WHERE t IS NOT NULL
+    """
+
+
+SQL_KG_LEXICAL = _lexical_sql(relational.PART_ENTITIES_SQL)
+
+
+def q_kg_dedup_triples(spark, sf):
+    """O-25 dedup precedence over constructed duplicate (s,p,o) rows with
+    mixed inferred flags (originals beat inferred; last original's payload
+    wins)."""
+    li = relational.load(spark, sf, "lineitem")
+    supplier = relational.load(spark, sf, "supplier")
+    part = relational.load(spark, sf, "part")
+    trip = (
+        li.join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.lit("rel://dup").alias("url"),
+            F.col("s_name").alias("subject"),
+            F.lit("supplies").alias("predicate"),
+            F.col("p_name").alias("object"),
+            F.col("l_linenumber").cast("int").alias("chunk"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("seq"),
+            (F.col("l_returnflag") == "R").alias("inferred"),
+        )
+    )
+    return inference.dedup_triples(trip).select(
+        "url", "subject", "predicate", "object", "inferred",
+        F.col("chunk").cast("long").alias("chunk"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+
+
+SQL_KG_DEDUP = """
+    WITH trip AS (
+        SELECT 'rel://dup' AS url, s_name AS subject, 'supplies' AS predicate,
+               p_name AS object, l_linenumber AS chunk,
+               l_orderkey * 10 + l_linenumber AS seq,
+               l_returnflag = 'R' AS inferred
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey)
+    SELECT url, subject, predicate, object,
+           bool_and(inferred) AS inferred,
+           (arg_max(chunk, seq) FILTER (WHERE NOT inferred))::BIGINT AS chunk,
+           min(seq)::BIGINT AS seq
+    FROM trip GROUP BY url, subject, predicate, object
+"""
+
+
+def q_kg_connected_components(spark, sf):
+    """O-20: iterative min-label propagation over the geo graph; DuckDB
+    replays it with a recursive reachability CTE."""
+    edges = relational.geo_graph_triples(spark, sf).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    return connected_components(edges).select("node", "component")
+
+
+SQL_KG_CC = f"""
+    WITH RECURSIVE trip AS ({relational.GEO_GRAPH_TRIPLES_SQL}),
+    und AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT subject AS a, object AS b FROM trip
+            UNION ALL SELECT object, subject FROM trip)),
+    reach(node, r) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.node)
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+def q_kg_infer_full(spark, sf):
+    """Full phase 3 (transitive + lexical + dedup + limits) over the
+    supplier->nation->region graph."""
+    trip = relational.geo_triples(spark, sf).filter(
+        F.col("url").isin("rel://supplier", "rel://nation")
+    ).withColumn("url", F.lit("rel://sn"))
+    return inference.infer(trip).select(
+        "url", "subject", "predicate", "object", "inferred",
+        F.col("chunk").cast("long").alias("chunk"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+
+
+_SN_TRIPLES_SQL = """
+    SELECT 'rel://sn' AS url, 1 AS chunk, s_suppkey AS seq,
+           s_name AS subject, 'located in' AS predicate, n_name AS object
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    UNION ALL
+    SELECT 'rel://sn', 1, n_nationkey, n_name, 'is part of', r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+SQL_KG_INFER_FULL = f"""
+    WITH originals AS (
+        SELECT url, subject, predicate, object, chunk, seq, false AS inferred
+        FROM ({_SN_TRIPLES_SQL})),
+    edges AS (
+        SELECT url, subject, object, arg_max(predicate, seq) AS pred
+        FROM originals GROUP BY url, subject, object),
+    paths AS (
+        SELECT a.url, a.subject AS A, a.object AS B, a.pred AS p1,
+               b.object AS C, b.pred AS p2
+        FROM edges a JOIN edges b
+          ON a.url = b.url AND a.object = b.subject AND a.subject <> b.object),
+    new_paths AS (
+        SELECT p.* FROM paths p
+        ANTI JOIN edges e ON p.url = e.url AND p.A = e.subject AND p.C = e.object),
+    tpred AS (
+        SELECT url, A, C,
+            CASE WHEN p1 = p2 THEN 'indirectly ' || p1
+                 ELSE p1 || ' via ' || B END AS pred
+        FROM new_paths),
+    tlim AS (
+        SELECT url, A, C, pred,
+            list_filter(string_split_regex(pred, '\\s+'), w -> w <> '') AS pw
+        FROM tpred),
+    trans AS (
+        SELECT DISTINCT url, A AS subject, {_LIMIT_PRED_SQL} AS predicate,
+               C AS object
+        FROM tlim),
+    lex AS ({_lexical_sql(_SN_TRIPLES_SQL)}),
+    unioned AS (
+        SELECT url, subject, predicate, object, chunk, seq, inferred FROM originals
+        UNION ALL
+        SELECT url, subject, predicate, object, NULL, NULL, true FROM trans
+        UNION ALL
+        SELECT url, subject, predicate, object, NULL, NULL, true FROM lex),
+    deduped AS (
+        SELECT url, subject, predicate, object,
+               bool_and(inferred) AS inferred,
+               arg_max(chunk, seq) FILTER (WHERE NOT inferred) AS chunk,
+               min(seq) AS seq
+        FROM unioned GROUP BY url, subject, predicate, object)
+    -- final predicate limit is an identity here (every emitted predicate is
+    -- already <= 3 words); self-loop filter:
+    SELECT url, subject, predicate, object, inferred,
+           chunk::BIGINT AS chunk, seq::BIGINT AS seq
+    FROM deduped WHERE subject <> object
+"""
+
+
+# --------------------------------------------------------------------------
+# doc_* — kernel + text-analysis operators over the documents table
+# --------------------------------------------------------------------------
+
+def _docs_as_pages(spark, sf, text_col=None):
+    from kgspark.pipeline import chunking  # noqa: F401 (used by callers)
+    d = relational.load(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        (text_col if text_col is not None else F.col("text")).alias("text"),
+    )
+
+
+def q_doc_chunk_oversize(spark, sf):
+    """Chunker over raw documents (single unterminated sentence per doc →
+    the oversize-standalone branch): one chunk, byte-identical to text."""
+    from kgspark.pipeline import chunking
+    chunks = chunking.chunk_pages(_docs_as_pages(spark, sf), chunk_size=10, overlap=2)
+    return chunks.select(
+        "url", F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+SQL_DOC_CHUNK_OVERSIZE = """
+    SELECT CAST(doc_id AS VARCHAR) AS url, 1::BIGINT AS chunk_id,
+           md5(text) AS chunk_md5
+    FROM documents
+"""
+
+
+def q_doc_chunk_overlap(spark, sf):
+    """Chunker accumulate+carry semantics: rewrite each doc into 5-word
+    sentences ('!'-terminated, truncated to a multiple of 5 words), chunk
+    at max_length=10 → closed-form sliding-window chunks the SQL oracle
+    reproduces (flush at 3rd sentence, two-sentence carry)."""
+    from kgspark.pipeline import chunking
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    kfive = (F.size(words) / 5).cast("int") * 5
+    text2 = F.array_join(
+        F.transform(
+            F.slice(words, 1, kfive),
+            lambda w, i: F.when((i + 1) % 5 == 0, F.concat(w, F.lit("!"))).otherwise(w),
+        ),
+        " ",
+    )
+    pages = _docs_as_pages(spark, sf, text_col=text2).filter(F.col("text") != "")
+    chunks = chunking.chunk_pages(pages, chunk_size=10, overlap=2)
+    return chunks.select(
+        "url", F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+SQL_DOC_CHUNK_OVERLAP = """
+    WITH base AS (
+        SELECT CAST(doc_id AS VARCHAR) AS url,
+               list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
+        FROM documents),
+    k AS (SELECT url, words, len(words) // 5 AS K FROM base WHERE len(words) >= 5),
+    sent AS (
+        SELECT url, K, i,
+               array_to_string(words[(5*i-4):(5*i)], ' ') || '!' AS s
+        FROM k, unnest(generate_series(1, K)) AS t(i)),
+    sl AS (SELECT url, K, list(s ORDER BY i) AS ss FROM sent GROUP BY url, K),
+    chunks AS (
+        SELECT url, 1 AS chunk_id,
+               CASE WHEN K = 1 THEN ss[1] ELSE ss[1] || ' ' || ss[2] END AS chunk_text
+        FROM sl
+        UNION ALL
+        SELECT url, j, ss[j-1] || ' ' || ss[j] || ' ' || ss[j+1]
+        FROM sl, unnest(generate_series(2, K-1)) AS t(j)
+        WHERE K >= 3)
+    SELECT url, chunk_id::BIGINT AS chunk_id, md5(chunk_text) AS chunk_md5
+    FROM chunks
+"""
+
+
+def q_doc_langid(spark, sf):
+    d = relational.load(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textstats.langid_expr(F.col("text")).alias("lang_pred"),
+        (textstats.langid_expr(F.col("text")) == F.col("lang")).alias("label_match"),
+    )
+
+
+def _lex_sql(lang: str) -> str:
+    lex = ",".join(f"'{w}'" for w in textstats.LANG_LEXICONS[lang])
+    return f"len(list_intersect(dws, [{lex}]))"
+
+
+SQL_DOC_LANGID = f"""
+    WITH w AS (
+        SELECT doc_id, lang, text,
+            list_distinct(list_filter(
+                string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS dws
+        FROM documents),
+    h AS (
+        SELECT doc_id, lang,
+            {_lex_sql('en')} AS h_en, {_lex_sql('fr')} AS h_fr,
+            {_lex_sql('es')} AS h_es, {_lex_sql('de')} AS h_de,
+            (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))
+              * 1.0 / greatest(length(text), 1) AS cjk_ratio
+        FROM w),
+    p AS (
+        SELECT doc_id, lang,
+            CASE WHEN cjk_ratio > 0.05 THEN 'zh'
+                 WHEN h_en >= greatest(h_fr, h_es, h_de) THEN 'en'
+                 WHEN h_fr >= greatest(h_es, h_de) THEN 'fr'
+                 WHEN h_es >= h_de THEN 'es'
+                 ELSE 'de' END AS lang_pred
+        FROM h)
+    SELECT doc_id::BIGINT AS doc_id, lang_pred, lang_pred = lang AS label_match
+    FROM p
+"""
+
+
+def q_doc_quality(spark, sf):
+    d = relational.load(spark, sf, "documents")
+    out = textstats.quality_features(d.select("doc_id", "text"), "text")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("q_chars").cast("long").alias("q_chars"),
+        F.col("q_words").cast("long").alias("q_words"),
+        "q_avg_word_len", "q_stopword_ratio", "q_punct_ratio",
+        "q_uniq_ratio", "q_score",
+    )
+
+
+_EN_STOPS_SQL = ",".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
+
+SQL_DOC_QUALITY = f"""
+    WITH w AS (
+        SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents),
+    f AS (
+        SELECT doc_id,
+            length(text) AS n_chars, len(ws) AS n_words,
+            round((length(text) - (len(ws) - 1)) * 1.0 / greatest(len(ws), 1), 4)
+              AS avg_wl,
+            round(len(list_filter(ws, x -> x IN ({_EN_STOPS_SQL})))
+              * 1.0 / greatest(len(ws), 1), 4) AS stop_ratio,
+            round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+              * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+            round(len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1), 4) AS uniq_ratio
+        FROM w)
+    SELECT doc_id::BIGINT AS doc_id,
+           n_chars::BIGINT AS q_chars, n_words::BIGINT AS q_words,
+           avg_wl AS q_avg_word_len, stop_ratio AS q_stopword_ratio,
+           punct_ratio AS q_punct_ratio, uniq_ratio AS q_uniq_ratio,
+           round(0.25 * (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END)
+               + 0.25 * (CASE WHEN avg_wl >= 3 AND avg_wl <= 10 THEN 1.0 ELSE 0.0 END)
+               + 0.25 * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+               + 0.25 * uniq_ratio, 6) AS q_score
+    FROM f
+"""
+
+
+def q_doc_tokens(spark, sf):
+    d = relational.load(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textstats.ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        textstats.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+SQL_DOC_TOKENS = f"""
+    SELECT doc_id::BIGINT AS doc_id,
+        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT
+          AS ws_tokens,
+        len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}'))::BIGINT
+          AS bpe_tokens
+    FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    d = relational.load(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textstats.fingerprint_expr(F.col("text"), n=8).alias("fingerprint"),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+    WITH w AS (
+        SELECT doc_id,
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+        FROM documents)
+    SELECT doc_id::BIGINT AS doc_id,
+        (SELECT min(md5(array_to_string(words[i:i+7], ' ')))
+         FROM unnest(generate_series(1, greatest(len(words) - 7, 1))) AS t(i))
+          AS fingerprint
+    FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_* — deduplication over documents (+ planted duplicates)
+# --------------------------------------------------------------------------
+
+def _docs_with_exact_dups(spark, sf):
+    d = relational.load(spark, sf, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+def q_dedup_exact(spark, sf):
+    return dedupe.exact_dup_groups(_docs_with_exact_dups(spark, sf), "doc_id", "text").select(
+        "text_hash", F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+    SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
+           min(doc_id)::BIGINT AS keep_id
+    FROM corpus GROUP BY md5(text)
+"""
+
+
+def _docs_with_near_dups(spark, sf):
+    """documents plus near-duplicates: every 7th doc re-appended with its
+    last 3 words dropped (high n-gram Jaccard by construction)."""
+    d = relational.load(spark, sf, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    trimmed = F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))), " ")
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), trimmed.alias("text")
+    )
+    return d.unionByName(near)
+
+
+_NEAR_DUP_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000,
+        array_to_string(l[1:greatest(len(l) - 3, 1)], ' ')
+    FROM (SELECT doc_id,
+            list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS l
+          FROM documents WHERE doc_id % 7 = 0)
+"""
+
+
+def q_dedup_jaccard(spark, sf):
+    return dedupe.jaccard_pairs_exact(
+        _docs_with_near_dups(spark, sf), "doc_id", "text", n=3, threshold=0.5
+    ).select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"), "jaccard",
+    )
+
+
+_SHINGLE_SQL = """
+    SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                       i -> array_to_string(words[i:i+2], ' '))) AS sh
+    FROM (SELECT doc_id,
+            list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
+          FROM corpus)
+"""
+
+SQL_DEDUP_JACCARD = f"""
+    WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               len(list_intersect(a.sh, b.sh)) AS inter,
+               len(a.sh) AS n1, len(b.sh) AS n2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id1::BIGINT AS id1, id2::BIGINT AS id2,
+           round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
+    FROM pairs
+    WHERE inter > 0 AND round(inter * 1.0 / (n1 + n2 - inter), 6) >= 0.5
+"""
+
+
+def q_dedup_minhash_sig(spark, sf):
+    d = relational.load(spark, sf, "documents")
+    return dedupe.minhash_signature(d, "doc_id", "text", n=3, k=8, hash_fn="md5").select(
+        F.col("id").cast("long").alias("id"),
+        *[F.col(f"h{i}").alias(f"h{i}") for i in range(8)],
+    )
+
+
+SQL_DEDUP_MINHASH_SIG = f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    sh AS ({_SHINGLE_SQL}),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh)
+    SELECT doc_id::BIGINT AS id,
+        {", ".join(
+            f"min(('0x' || substr(md5('{i}:' || shingle), 1, 8))::BIGINT) AS h{i}"
+            for i in range(8)
+        )}
+    FROM ex GROUP BY doc_id
+"""
+
+
+def q_dedup_lsh(spark, sf):
+    """MinHash-LSH + exact verify; oracle = exact Jaccard pairs >= 0.8
+    (verified: LSH recall is total on this corpus at k=16/b=8)."""
+    return dedupe.lsh_dup_pairs(
+        _docs_with_near_dups(spark, sf), "doc_id", "text",
+        n=3, k=16, bands=8, threshold=0.8,
+    ).select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"), "jaccard",
+    )
+
+
+SQL_DEDUP_LSH = f"""
+    WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               len(list_intersect(a.sh, b.sh)) AS inter,
+               len(a.sh) AS n1, len(b.sh) AS n2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id1::BIGINT AS id1, id2::BIGINT AS id2,
+           round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
+    FROM pairs
+    WHERE inter > 0 AND round(inter * 1.0 / (n1 + n2 - inter), 6) >= 0.8
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs (xxhash64-based — rows-only driver check;
+    recall/precision asserted against exact Jaccard in pytest)."""
+    return dedupe.simhash_pairs(
+        _docs_with_near_dups(spark, sf), "doc_id", "text", max_dist=12
+    ).select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+        F.col("hamming").cast("long").alias("hamming"),
+    ).orderBy("id1", "id2")
+
+
+# --------------------------------------------------------------------------
+# emb_* — similarity search over the embeddings table
+# --------------------------------------------------------------------------
+
+def q_emb_topk(spark, sf):
+    e = relational.load(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.topk_neighbors(e, queries, "vec_id", "embedding", k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "sim", F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_EMB_TOPK = """
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                         c.embedding::DOUBLE[]), 4) AS sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 8)
+    SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+           sim, rank::BIGINT AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+"""
+
+
+def _emb_with_planted(spark, sf):
+    e = relational.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: (x.cast("double") * 0.5).cast("float"))
+          .alias("embedding"),
+    )
+    return e.unionByName(planted)
+
+
+def q_emb_dup_pairs(spark, sf):
+    return similarity.embedding_dup_pairs(
+        _emb_with_planted(spark, sf), "vec_id", "embedding", threshold=0.99
+    ).select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"), "sim",
+    )
+
+
+SQL_EMB_DUP_PAIRS = """
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(embedding::DOUBLE[], x -> (x * 0.5)::FLOAT::DOUBLE)
+        FROM embeddings WHERE vec_id % 20 = 0)
+    SELECT a.vec_id::BIGINT AS id1, b.vec_id::BIGINT AS id2,
+           round(list_cosine_similarity(a.v, b.v), 4) AS sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+"""
+
+
+def q_emb_ann_topk(spark, sf):
+    """Hyperplane-LSH ANN (rows-only driver check; recall vs brute force
+    asserted in pytest)."""
+    e = relational.load(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.ann_topk(
+        e, queries, "vec_id", "embedding", dim=64, k=5, n_planes=16, band_bits=8
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "sim", F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# mm_* — multimodal binary-payload plumbing
+# --------------------------------------------------------------------------
+
+def q_mm_decode_meta(spark, sf):
+    d = relational.load(spark, sf, "documents")
+    payloads = multimodal.with_payload(d, "doc_id", "text")
+    return multimodal.decode_image_meta(payloads).select(
+        "doc_id", F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "mean_millibyte",
+    )
+
+
+SQL_MM_DECODE_META = """
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS n,
+            (SELECT sum(ord(substr(text, i, 1)))
+             FROM unnest(generate_series(1, length(text))) AS t(i)) AS bytesum
+        FROM documents)
+    SELECT doc_id::BIGINT AS doc_id, n::BIGINT AS n_bytes,
+           (64 + n % 577)::BIGINT AS width,
+           (64 + (n * 31) % 419)::BIGINT AS height,
+           (1 + n % 7)::BIGINT AS n_frames,
+           (bytesum * 1000 // n)::BIGINT AS mean_millibyte
+    FROM b
+"""
+
+
+def q_mm_frame_sample(spark, sf):
+    d = relational.load(spark, sf, "documents")
+    decoded = multimodal.decode_image_meta(multimodal.with_payload(d, "doc_id", "text"))
+    return multimodal.frame_sample(decoded, every_k=2).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+SQL_MM_FRAME_SAMPLE = """
+    WITH b AS (SELECT doc_id, 1 + octet_length(encode(text)) % 7 AS n_frames FROM documents)
+    SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS frame_idx
+    FROM b, unnest(generate_series(0, n_frames - 1)) AS t(i)
+    WHERE i % 2 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# ev_* — event sessionization and windowed aggregation
+# --------------------------------------------------------------------------
+
+def q_ev_sessionize(spark, sf):
+    evd = relational.load(spark, sf, "events")
+    return ev_ops.sessionize(evd, gap_minutes=30).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.unix_micros(F.col("started_at").cast("timestamp_ltz")).alias("started_us"),
+        F.unix_micros(F.col("ended_at").cast("timestamp_ltz")).alias("ended_us"),
+    )
+
+
+SQL_EV_SESSIONIZE = """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+        SELECT user_id, ts,
+            sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked)
+    SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
+           count(*)::BIGINT AS n_events,
+           min(epoch_us(ts))::BIGINT AS started_us,
+           max(epoch_us(ts))::BIGINT AS ended_us
+    FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_ev_tumbling(spark, sf):
+    evd = relational.load(spark, sf, "events")
+    return ev_ops.tumbling_counts(evd, hours=24).select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "event_type", F.col("n_events").cast("long").alias("n_events"), "sum_value",
+    )
+
+
+SQL_EV_TUMBLING = """
+    SELECT epoch(date_trunc('day', ts))::BIGINT AS window_epoch,
+           event_type, count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_* — the kernel pipeline over synthetic pages (rows-only checks)
+# --------------------------------------------------------------------------
+
+def _synth_pages(spark, sf):
+    """Deterministic in-memory pages corpus sized by the sf dir name."""
+    import re as _re
+    from kgspark import datagen
+    from kgspark.pipeline.ingest import PAGES_SCHEMA
+    m = _re.search(r"sf([0-9.]+)", sf)
+    n = max(20, int(20000 * float(m.group(1)))) if m else 50
+    rows = datagen.generate_rows(n, seed=42)
+    return spark.createDataFrame(rows, PAGES_SCHEMA).repartition(8)
+
+
+def q_pipe_extract_parity(spark, sf):
+    """Per-row invariant: kernel(html) byte-identical to shipped text."""
+    from kgspark.pipeline.ingest import extract_text_udf
+    pages = _synth_pages(spark, sf)
+    return pages.agg(
+        F.count("*").alias("pages"),
+        F.sum(F.when(extract_text_udf(F.col("html")) == F.col("text"), 1).otherwise(0))
+          .cast("long").alias("byte_identical"),
+    )
+
+
+def q_pipe_extract_triples(spark, sf):
+    """html → extract_text → chunk → pattern-extraction; per-predicate
+    counts of the raw triples (deterministic across parallelism)."""
+    from kgspark.pipeline import chunking, extraction, ingest
+    pages = ingest.with_extracted_text(_synth_pages(spark, sf))
+    chunks = chunking.chunk_pages(pages, 100, 20)
+    raw = extraction.extract_raw_triples(chunks)
+    return (
+        raw.groupBy("predicate").agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "predicate")
+    )
+
+
+def q_pipe_kg_e2e(spark, sf):
+    """Full pipeline (phases 1-3) over synthetic pages → corpus stats."""
+    from kgspark.config import KgConfig
+    from kgspark.pipeline.runner import build_triples
+    triples = build_triples(_synth_pages(spark, sf), KgConfig(), from_html=True)
+    return triples.agg(
+        F.count("*").cast("long").alias("triples"),
+        F.countDistinct("url").cast("long").alias("docs"),
+        F.countDistinct("subject", "predicate", "object").cast("long").alias("distinct_spo"),
+        F.sum(F.when(F.col("inferred"), 1).otherwise(0)).cast("long").alias("inferred"),
+    )
+
+
+def q_pipe_linking(spark, sf):
+    """Corpus-scale MinHash-LSH entity linking over extracted entities
+    (candidate gen + exact verify + connected components)."""
+    from kgspark.config import KgConfig
+    from kgspark.pipeline.runner import build_triples
+    cfg = KgConfig()
+    triples = build_triples(_synth_pages(spark, sf), cfg, from_html=True)
+    triples = triples.localCheckpoint(eager=True)  # cut phase-1..3 lineage
+    link_map = linking.link_entities(triples, cfg)
+    return (
+        link_map.groupBy("canon").agg(F.count("*").cast("long").alias("n_variants"))
+        .orderBy(F.desc("n_variants"), "canon")
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    # name: (spark_fn, duckdb_sql | None)
+    "kg_basic_stats": (q_kg_basic_stats, SQL_KG_BASIC_STATS),
+    "kg_top_predicates": (q_kg_top_predicates, SQL_KG_TOP_PREDICATES),
+    "kg_entity_frequency": (q_kg_entity_frequency, SQL_KG_ENTITY_FREQUENCY),
+    "kg_role_histograms": (q_kg_role_histograms, SQL_KG_ROLE_HISTOGRAMS),
+    "kg_pair_patterns": (q_kg_pair_patterns, SQL_KG_PAIR_PATTERNS),
+    "kg_graph_metrics": (q_kg_graph_metrics, SQL_KG_GRAPH_METRICS),
+    "kg_degree_centrality": (q_kg_degree_centrality, SQL_KG_DEGREE_CENTRALITY),
+    "kg_chunk_distribution": (q_kg_chunk_distribution, SQL_KG_CHUNK_DISTRIBUTION),
+    "kg_topic_classification": (q_kg_topic_classification, SQL_KG_TOPIC_CLASSIFICATION),
+    "kg_keyword_filter": (q_kg_keyword_filter, SQL_KG_KEYWORD_FILTER),
+    "kg_discourse_shift": (q_kg_discourse_shift, SQL_KG_DISCOURSE_SHIFT),
+    "kg_entity_tracking": (q_kg_entity_tracking, SQL_KG_ENTITY_TRACKING),
+    "kg_standardize_map": (q_kg_standardize_map, SQL_KG_STANDARDIZE_MAP),
+    "kg_standardized_triples": (q_kg_standardized_triples, SQL_KG_STANDARDIZED_TRIPLES),
+    "kg_transitive_inference": (q_kg_transitive_inference, SQL_KG_TRANSITIVE),
+    "kg_lexical_inference": (q_kg_lexical_inference, SQL_KG_LEXICAL),
+    "kg_dedup_triples": (q_kg_dedup_triples, SQL_KG_DEDUP),
+    "kg_connected_components": (q_kg_connected_components, SQL_KG_CC),
+    "kg_infer_full": (q_kg_infer_full, SQL_KG_INFER_FULL),
+    "doc_chunk_oversize": (q_doc_chunk_oversize, SQL_DOC_CHUNK_OVERSIZE),
+    "doc_chunk_overlap": (q_doc_chunk_overlap, SQL_DOC_CHUNK_OVERLAP),
+    "doc_langid": (q_doc_langid, SQL_DOC_LANGID),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
+    "dedup_lsh": (q_dedup_lsh, SQL_DEDUP_LSH),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "emb_topk": (q_emb_topk, SQL_EMB_TOPK),
+    "emb_dup_pairs": (q_emb_dup_pairs, SQL_EMB_DUP_PAIRS),
+    "emb_ann_topk": (q_emb_ann_topk, None),
+    "mm_decode_meta": (q_mm_decode_meta, SQL_MM_DECODE_META),
+    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
+    "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
+    "ev_tumbling": (q_ev_tumbling, SQL_EV_TUMBLING),
+    "pipe_extract_parity": (q_pipe_extract_parity, None),
+    "pipe_extract_triples": (q_pipe_extract_triples, None),
+    "pipe_kg_e2e": (q_pipe_kg_e2e, None),
+    "pipe_linking": (q_pipe_linking, None),
+}
