@@ -1,0 +1,163 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+The headline set covers every execution shape the engine has:
+Arrow-UDF kernel pipeline (chunk/extract/standardize/infer), MinHash-LSH
+linking + dedup self-joins, iterative connected components, window
+functions, scan-heavy JVM expressions, and embedding similarity.
+
+Usage: python bench.py            # one-shot, contract JSON on stdout
+       python bench.py --json-only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(spark, sf_dir: str) -> tuple[dict, dict]:
+    from pyspark.sql import functions as F
+
+    from kgspark import querybank as qb
+    from kgspark.config import KgConfig
+    from kgspark.pipeline import analytics, linking, relational
+    from kgspark.pipeline.graph import connected_components
+    from kgspark.pipeline.runner import build_triples
+
+    counters: dict[str, float] = {}
+
+    def docs():
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    state: dict = {}
+
+    def q_kg_pipeline(spark, sf):
+        """Phases 1-3 over the synthetic pages corpus (the product)."""
+        pages = qb._synth_pages(spark, sf)
+        counters["pages"] = pages.count()
+        counters["chars"] = pages.agg(F.sum(F.length("text"))).collect()[0][0]
+        triples = build_triples(pages, KgConfig(), from_html=True)
+        t = triples.localCheckpoint(eager=True)
+        state["triples"] = t
+        counters["triples"] = t.count()
+        return None
+
+    def q_kg_linking(spark, sf):
+        """MinHash-LSH entity linking over the pipeline's triples."""
+        link_map = linking.link_entities(state["triples"], KgConfig())
+        counters["linked_variants"] = link_map.count()
+        return None
+
+    def q_kg_cc(spark, sf):
+        edges = relational.geo_graph_triples(spark, sf).select(
+            F.col("subject").alias("src"), F.col("object").alias("dst"))
+        counters["cc_nodes"] = connected_components(edges).count()
+        return None
+
+    def q_kg_analytics(spark, sf):
+        trip = qb._all_triples(spark, sf)
+        analytics.top_predicates(trip, 20).collect()
+        analytics.entity_frequency(trip, 20).collect()
+        analytics.pair_patterns(trip, 10).collect()
+        analytics.discourse_shift(
+            qb._event_period_triples(spark, sf), "period", qb._EV_THEMES
+        ).collect()
+        return None
+
+    def q_dedup_lsh(spark, sf):
+        from kgspark.ops.dedupe import lsh_dup_pairs
+        counters["lsh_pairs"] = lsh_dup_pairs(
+            qb._docs_with_near_dups(spark, sf), "doc_id", "text",
+            n=3, k=16, bands=8, threshold=0.8,
+        ).count()
+        return None
+
+    def q_dedup_exact_simhash(spark, sf):
+        from kgspark.ops.dedupe import exact_dup_groups, simhash_blocks
+        exact_dup_groups(docs(), "doc_id", "text").count()
+        simhash_blocks(docs(), "doc_id", "text").count()
+        return None
+
+    def q_doc_stats(spark, sf):
+        qb.q_doc_quality(spark, sf).count()
+        qb.q_doc_tokens(spark, sf).count()
+        qb.q_doc_fingerprint(spark, sf).count()
+        qb.q_doc_langid(spark, sf).count()
+        return None
+
+    def q_emb_topk(spark, sf):
+        qb.q_emb_topk(spark, sf).collect()
+        return None
+
+    def q_ev_windows(spark, sf):
+        qb.q_ev_sessionize(spark, sf).count()
+        qb.q_ev_tumbling(spark, sf).count()
+        return None
+
+    bench_queries = {
+        "kg_pipeline": q_kg_pipeline,
+        "kg_linking": q_kg_linking,
+        "kg_cc": q_kg_cc,
+        "kg_analytics": q_kg_analytics,
+        "dedup_lsh": q_dedup_lsh,
+        "dedup_exact_simhash": q_dedup_exact_simhash,
+        "doc_stats": q_doc_stats,
+        "emb_topk": q_emb_topk,
+        "ev_windows": q_ev_windows,
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries.items():
+        t0 = time.time()
+        fn(spark, sf_dir)
+        timings[name] = round(time.time() - t0, 3)
+    return timings, counters
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from kgspark.session import get_session
+
+    spark = get_session(master=f"local[{cpus}]", app_name="kgspark-bench",
+                        shuffle_partitions=cpus)
+    t0 = time.time()
+    timings, counters = run(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+
+    pipeline_sec = timings.get("kg_pipeline", 0) or 1e-9
+    out = {
+        "metric": "kgspark_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "throughput": {
+            "pipeline_triples_per_sec": round(
+                counters.get("triples", 0) / pipeline_sec, 1),
+            "pipeline_chars_per_sec": round(
+                counters.get("chars", 0) / pipeline_sec, 1),
+            "pages": counters.get("pages", 0),
+            "triples": counters.get("triples", 0),
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -117,7 +117,7 @@ def ann_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16) -> 
 
 def ann_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, dim: int,
-    k: int = 10, n_planes: int = 16, band_bits: int = 8, round_dp: int = 4,
+    k: int = 10, n_planes: int = 24, band_bits: int = 4, round_dp: int = 4,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one band of the
     hyperplane signature; exact cosine re-rank within candidates.

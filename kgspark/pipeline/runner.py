@@ -39,15 +39,27 @@ MANIFEST_SCHEMA = T.StructType(
 )
 
 
-def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True) -> DataFrame:
-    """pages → final triples DataFrame (no I/O)."""
+def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
+                  materialize: bool = True) -> DataFrame:
+    """pages → final triples DataFrame (no I/O).
+
+    ``materialize=True`` localCheckpoints after extraction and after each
+    phase: phases 2-3 each branch over their input several times (entity
+    map + two apply joins; originals/transitive/lexical/edges), so without
+    a materialization barrier the Arrow-UDF extraction re-executes once
+    per branch (measured 5× wall-clock at sf0.1).  On a cluster the same
+    role is played by persist(MEMORY_AND_DISK) or the inter-stage tables
+    the runner writes.
+    """
+    def cut(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if materialize else df
+
     if from_html:
         pages = ingest.with_extracted_text(pages)
     chunks = chunking.chunk_pages(pages, cfg.chunk_size, cfg.overlap)
-    raw = extraction.extract_raw_triples(chunks)
-    out = raw
+    out = cut(extraction.extract_raw_triples(chunks))
     if cfg.standardization_enabled:
-        out = standardize.standardize(out)
+        out = cut(standardize.standardize(out))
     else:
         out = out.withColumn("chunk", F.coalesce("chunk", F.lit(0)).cast("int"))
     if cfg.inference_enabled:
@@ -56,10 +68,9 @@ def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True) -> Da
         out = out.withColumn("inferred", F.lit(False)) \
                  .select("url", "subject", "predicate", "object", "chunk", "seq", "inferred")
     if cfg.lsh_linking_enabled:
-        # cut lineage before the LSH self-join: the accumulated phase-1..3
-        # plan underneath would otherwise be re-analyzed (and re-executed)
-        # on both sides of every linking join
-        out = out.localCheckpoint(eager=False)
+        # barrier before the LSH self-join: linking scans its input many
+        # times (signatures, bands, verify, CC) — see module docstring
+        out = cut(out)
         out = linking.apply_linking(out, linking.link_entities(out, cfg))
     return out
 

@@ -1124,7 +1124,7 @@ def q_emb_ann_topk(spark, sf):
     e = relational.load(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     return similarity.ann_topk(
-        e, queries, "vec_id", "embedding", dim=64, k=5, n_planes=16, band_bits=8
+        e, queries, "vec_id", "embedding", dim=64, k=5, n_planes=24, band_bits=4
     ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),

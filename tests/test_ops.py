@@ -1,0 +1,120 @@
+"""Tests for the training-data operators (kgspark.ops.*): recall/precision
+properties of the approximate paths against their exact twins, and the
+multimodal plumbing contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark.ops import dedupe, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    trimmed = F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))), " ")
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), trimmed.alias("text")
+    )
+    return d.unionByName(near).persist()
+
+
+def test_lsh_recall_vs_exact(spark, docs):
+    """MinHash-LSH candidates + verify must recover every exact pair at
+    jaccard ≥ 0.8 on this corpus (recall 1.0 by k/band margin)."""
+    exact = {
+        (r.id1, r.id2)
+        for r in dedupe.jaccard_pairs_exact(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    lsh = {
+        (r.id1, r.id2)
+        for r in dedupe.lsh_dup_pairs(docs, "doc_id", "text", 3, 16, 8, 0.8).collect()
+    }
+    assert exact, "fixture must plant near-dup pairs"
+    assert lsh == exact
+
+
+def test_minhash_md5_xxhash_consistent_shape(spark, docs):
+    sig = dedupe.minhash_signature(docs, "doc_id", "text", n=3, k=4, hash_fn="md5")
+    row = sig.limit(1).collect()[0]
+    assert set(sig.columns) == {"id", "h0", "h1", "h2", "h3"}
+    assert all(row[f"h{i}"] is not None for i in range(4))
+
+
+def test_simhash_block_guarantee(spark, docs):
+    """The 4×16-bit banding guarantees total recall for hamming ≤ 3
+    (pigeonhole: ≤3 differing bits cannot touch all 4 blocks).  Every
+    planted pair within that distance must be found, and every reported
+    pair must satisfy the distance bound."""
+    sig = {r.id: tuple(r.blocks)
+           for r in dedupe.simhash_blocks(docs, "doc_id", "text").collect()}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    planted_close = {
+        (i, i + 100000)
+        for i in (r.doc_id for r in docs.filter(F.col("doc_id") < 100000)
+                  .filter(F.col("doc_id") % 7 == 0).select("doc_id").collect())
+        if ham(sig[i], sig[i + 100000]) <= 3
+    }
+    found = {
+        (r.id1, r.id2)
+        for r in dedupe.simhash_pairs(docs, "doc_id", "text", max_dist=3).collect()
+    }
+    assert planted_close, "fixture must plant close pairs"
+    assert planted_close <= found
+    for i, j in found:
+        assert ham(sig[i], sig[j]) <= 3
+
+
+def test_simhash_deterministic(spark, docs):
+    a = sorted(map(tuple, dedupe.simhash_blocks(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, dedupe.simhash_blocks(docs, "doc_id", "text").collect()))
+    assert a == b
+
+
+def test_ann_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.topk_neighbors(emb, queries, "vec_id", "embedding", k=5)
+    ann = similarity.ann_topk(emb, queries, "vec_id", "embedding", dim=64,
+                              k=5, n_planes=24, band_bits=4)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    # bucketed ANN trades recall for pruning; demand a sane floor and
+    # that every ANN result is a real corpus member scored identically
+    assert len(a & b) / len(b) >= 0.3
+    sims_b = {(r.query_id, r.neighbor_id): r.sim for r in brute.collect()}
+    for r in ann.collect():
+        if (r.query_id, r.neighbor_id) in sims_b:
+            assert sims_b[(r.query_id, r.neighbor_id)] == r.sim
+
+
+def test_multimodal_decode_contract(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    payloads = multimodal.with_payload(d, "doc_id", "text")
+    out = multimodal.decode_image_meta(payloads)
+    rows = out.collect()
+    assert len(rows) == d.count()
+    for r in rows[:20]:
+        assert r.width == 64 + r.n_bytes % 577
+        assert 1 <= r.n_frames <= 7
+    frames = multimodal.frame_sample(out, every_k=2)
+    assert frames.filter(F.col("frame_idx") % 2 != 0).count() == 0
+
+
+def test_decode_real_raises_without_pil(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    payloads = multimodal.with_payload(d, "doc_id", "text")
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(payloads)
