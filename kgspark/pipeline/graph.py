@@ -87,3 +87,163 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst",
     return und.groupBy(*kcols, F.col("a").alias("node")).agg(
         F.count("*").alias("degree")
     )
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    tol: float = 1e-6,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Eigenvector centrality by power iteration over the undirected
+    simple graph — iterative join-agg (the PageRank skeleton), reference
+    analog: networkx eigenvector_centrality at visualization.py:170-177
+    (max_iter=1000 driver-side; ours distributes).
+
+    Returns (node, centrality) with the L2-normalized dominant
+    eigenvector, like networkx."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    n = nodes.count()
+    x = nodes.withColumn("score", F.lit(1.0 / (n ** 0.5))).persist()
+
+    last_norm = None
+    for it in range(max_iter):
+        # y = A x  (sum neighbor scores), keep isolated mass at 0
+        y = (
+            und.join(x, und["b"] == x["node"])
+            .groupBy(und["a"].alias("node"))
+            .agg(F.sum("score").alias("raw"))
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).collect()[0][0]
+        if not norm:
+            break
+        new_x = y.select("node", (F.col("raw") / F.lit(norm)).alias("score"))
+        if (it + 1) % checkpoint_every == 0:
+            new_x = new_x.localCheckpoint(eager=True)
+        new_x = new_x.persist()
+        x.unpersist()
+        x = new_x
+        if last_norm is not None and abs(norm - last_norm) < tol * norm:
+            break
+        last_norm = norm
+    und.unpersist()
+    return x.select("node", F.col("score").alias("centrality"))
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle count over the undirected simple graph via the
+    canonical-orientation 2-hop join (each triangle counted once as
+    a<b<c, then credited to all three corners).  The A-9 clustering
+    building block; shuffle cost |E|^{3/2}-ish, AQE-skew-safe."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    fwd = und.filter(F.col("a") < F.col("b")).persist()  # canonical orientation
+    e1 = fwd.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = fwd.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    wedges = e1.join(e2, e1["y"] == e2["y2"]).select("x", "y", "z")
+    tri = wedges.join(
+        fwd.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    ).select("x", "y", "z")
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+    )
+    counts = corners.groupBy("node").agg(F.count("*").alias("triangles"))
+    all_nodes = und.select(F.col("a").alias("node")).distinct()
+    fwd.unpersist()
+    return all_nodes.join(counts, "node", "left").na.fill({"triangles": 0})
+
+
+def clustering_coefficients(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node local clustering coefficient c = 2T / (d(d-1)); A-9's
+    avg-clustering = mean over nodes (networkx average_clustering)."""
+    tri = triangle_counts(edges, src, dst)
+    deg = degrees(edges, src, dst)
+    return (
+        tri.join(deg, "node")
+        .select(
+            "node", "triangles", "degree",
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(0.0).alias("clustering"),
+        )
+    )
+
+
+def betweenness_centrality_small(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_nodes: int = 20000, normalized: bool = True,
+) -> dict[str, float]:
+    """Betweenness centrality for SMALL graphs, computed driver-side with
+    Brandes' algorithm over the collected undirected edge list (reference
+    analog: networkx betweenness at visualization.py:168 /
+    policy_comparative_analyzer.py:139 — per-period subgraphs are small).
+
+    Deliberately NOT distributed (SURVEY §2 A-9 note): exact distributed
+    betweenness is all-pairs-shortest-paths-shaped; at corpus scale use
+    degree/eigenvector instead.  Guarded by ``max_nodes``.
+    """
+    from collections import deque
+
+    rows = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .collect()
+    )
+    adj: dict[str, set[str]] = {}
+    for r in rows:
+        adj.setdefault(r.a, set()).add(r.b)
+        adj.setdefault(r.b, set()).add(r.a)
+    nodes = sorted(adj)
+    if len(nodes) > max_nodes:
+        raise ValueError(
+            f"betweenness_centrality_small is driver-side only; graph has "
+            f"{len(nodes)} nodes > max_nodes={max_nodes}"
+        )
+    bc = dict.fromkeys(nodes, 0.0)
+    for s in nodes:  # Brandes 2001
+        stack: list[str] = []
+        pred: dict[str, list[str]] = {v: [] for v in nodes}
+        sigma = dict.fromkeys(nodes, 0.0)
+        dist = dict.fromkeys(nodes, -1)
+        sigma[s] = 1.0
+        dist[s] = 0
+        queue = deque([s])
+        while queue:
+            v = queue.popleft()
+            stack.append(v)
+            for w in sorted(adj[v]):
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    pred[w].append(v)
+        delta = dict.fromkeys(nodes, 0.0)
+        while stack:
+            w = stack.pop()
+            for v in pred[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+        # undirected: every pair counted twice
+    n = len(nodes)
+    scale = 0.5
+    if normalized and n > 2:
+        scale = 1.0 / ((n - 1) * (n - 2))
+    return {v: bc[v] * scale for v in nodes}

@@ -1347,3 +1347,82 @@ QUERIES: dict[str, tuple] = {
     "pipe_kg_e2e": (q_pipe_kg_e2e, None),
     "pipe_linking": (q_pipe_linking, None),
 }
+
+
+# --------------------------------------------------------------------------
+# kg graph centrality extensions (A-9 clustering, A-15 eigenvector)
+# --------------------------------------------------------------------------
+
+def _copart_edges(spark, sf):
+    """Triangle-rich relational graph: parts co-occurring in an order are
+    connected (orders are cliques)."""
+    li = relational.load(spark, sf, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, (a["o"] == b["o2"]) & (a["src"] < b["dst"]))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+_COPART_EDGES_SQL = """
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    WHERE a.l_orderkey % 5 = 0
+"""
+
+
+def q_kg_triangles(spark, sf):
+    """A-9 building block: per-node triangle counts + local clustering
+    coefficient over the part-co-occurrence graph."""
+    from kgspark.pipeline.graph import clustering_coefficients
+    out = clustering_coefficients(_copart_edges(spark, sf))
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("triangles").cast("long").alias("triangles"),
+        F.col("degree").cast("long").alias("degree"),
+        F.round("clustering", 6).alias("clustering"),
+    )
+
+
+SQL_KG_TRIANGLES = f"""
+    WITH fwd AS ({_COPART_EDGES_SQL}),
+    und AS (SELECT src AS a, dst AS b FROM fwd
+            UNION SELECT dst, src FROM fwd),
+    tri AS (
+        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM fwd e1
+        JOIN fwd e2 ON e1.dst = e2.src
+        JOIN fwd e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    corners AS (
+        SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri),
+    tcnt AS (SELECT node, count(*) AS triangles FROM corners GROUP BY node),
+    deg AS (SELECT a AS node, count(*) AS degree FROM und GROUP BY a)
+    SELECT d.node::BIGINT AS node,
+           coalesce(t.triangles, 0)::BIGINT AS triangles,
+           d.degree::BIGINT AS degree,
+           round(CASE WHEN d.degree >= 2
+                 THEN 2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))
+                 ELSE 0.0 END, 6) AS clustering
+    FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+"""
+
+
+def q_kg_eigenvector(spark, sf):
+    """A-15: eigenvector centrality by distributed power iteration over
+    the geo graph (rows-only driver check; verified against numpy's dense
+    power iteration in pytest)."""
+    from kgspark.pipeline.graph import eigenvector_centrality
+    edges = relational.geo_graph_triples(spark, sf).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    out = eigenvector_centrality(edges, max_iter=30)
+    return out.select("node", F.round("centrality", 4).alias("centrality")) \
+              .orderBy(F.desc("centrality"), "node").limit(25)
+
+
+QUERIES["kg_triangles"] = (q_kg_triangles, SQL_KG_TRIANGLES)
+QUERIES["kg_eigenvector"] = (q_kg_eigenvector, None)

@@ -1,0 +1,95 @@
+"""Graph-algorithm correctness: eigenvector centrality vs numpy dense
+power iteration; triangle/clustering vs brute force."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from kgspark.pipeline.graph import (
+    clustering_coefficients,
+    connected_components,
+    eigenvector_centrality,
+    triangle_counts,
+)
+
+EDGES = [
+    ("a", "b"), ("b", "c"), ("a", "c"),      # triangle abc
+    ("c", "d"), ("d", "e"), ("e", "c"),      # triangle cde
+    ("e", "f"),                              # pendant
+    ("g", "h"),                              # separate component
+]
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, ["src", "dst"])
+
+
+def test_eigenvector_matches_numpy(spark, edges_df):
+    got = {r.node: r.centrality
+           for r in eigenvector_centrality(edges_df, max_iter=100, tol=0.0).collect()}
+    nodes = sorted({n for e in EDGES for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for u, v in EDGES:
+        A[idx[u], idx[v]] = A[idx[v], idx[u]] = 1.0
+    x = np.ones(len(nodes)) / np.sqrt(len(nodes))
+    for _ in range(100):
+        x = A @ x
+        x /= np.linalg.norm(x)
+    for n in nodes:
+        # g/h live in a smaller-eigenvalue component; power iteration from a
+        # uniform start drives their mass to ~0 in both implementations
+        assert got.get(n, 0.0) == pytest.approx(x[idx[n]], abs=1e-4)
+
+
+def test_triangles_brute_force(spark, edges_df):
+    got = {r.node: r.triangles for r in triangle_counts(edges_df).collect()}
+    und = set()
+    for u, v in EDGES:
+        und.add((u, v)); und.add((v, u))
+    nodes = sorted({n for e in EDGES for n in e})
+    want = dict.fromkeys(nodes, 0)
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in und and (b, c) in und and (a, c) in und:
+            want[a] += 1; want[b] += 1; want[c] += 1
+    assert got == want
+
+
+def test_clustering_values(spark, edges_df):
+    got = {r.node: round(r.clustering, 6)
+           for r in clustering_coefficients(edges_df).collect()}
+    # c has degree 4 (a,b,d,e) and 2 triangles → 2*2/(4*3) = 1/3
+    assert got["c"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got["a"] == 1.0 and got["b"] == 1.0
+    assert got["f"] == 0.0 and got["g"] == 0.0
+
+
+def test_cc_components(spark, edges_df):
+    comp = {r.node: r.component for r in connected_components(edges_df).collect()}
+    assert comp["a"] == comp["f"] == "a"
+    assert comp["g"] == comp["h"] == "g"
+
+
+def test_betweenness_path_graph(spark):
+    # path a-b-c-d: betweenness (normalized, undirected, n=4):
+    # b and c each sit on 2 of the (n-1)(n-2)=6 ordered pairs' paths ->
+    # raw 2 pairs counted once per direction = 2; scale 1/6 -> 1/3
+    df = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"])
+    from kgspark.pipeline.graph import betweenness_centrality_small
+    bc = betweenness_centrality_small(df)
+    assert bc["a"] == 0.0 and bc["d"] == 0.0
+    assert bc["b"] == pytest.approx(2 / 3)
+    assert bc["c"] == pytest.approx(2 / 3)
+
+
+def test_betweenness_star(spark):
+    df = spark.createDataFrame(
+        [("hub", "x1"), ("hub", "x2"), ("hub", "x3")], ["src", "dst"])
+    from kgspark.pipeline.graph import betweenness_centrality_small
+    bc = betweenness_centrality_small(df)
+    assert bc["hub"] == pytest.approx(1.0)
+    assert bc["x1"] == 0.0

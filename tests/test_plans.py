@@ -18,7 +18,13 @@ SF = "/root/testdata/sf0.001"
 
 
 def plan_of(df) -> str:
-    return df._jdf.queryExecution().explainString("formatted")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 def test_scan_pushdown_and_pruning(spark):
@@ -46,9 +52,13 @@ def test_phases_are_jvm_side(spark):
 
     trip = relational.geo_triples(spark, SF)
     plan = plan_of(inference.infer(standardize.standardize(trip)))
+    # no Python evaluation nodes anywhere in phases 2-3 (an un-executed
+    # AQE plan omits codegen-id annotations, so assert the absence of
+    # Python rather than the presence of codegen markers)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
-    assert "WholeStageCodegen" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_extraction_kernels_are_arrow(spark):

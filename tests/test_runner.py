@@ -1,0 +1,87 @@
+"""Resume / idempotence tests for the batch runner (SURVEY §5.2 item 4;
+reference contract: completed-year skip at policy_kg_batch_generator.py:
+87-99,196-210 — ours is per-url-hash-bucket manifests + anti-join)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import datagen
+from kgspark.config import KgConfig
+from kgspark.pipeline.runner import run_pipeline
+
+CFG = KgConfig(num_buckets=8)
+
+
+def _read_triples(spark, out):
+    return spark.read.parquet(os.path.join(out, "triples"))
+
+
+def _spo_set(df):
+    return {
+        (r.url, r.subject, r.predicate, r.object, r.inferred)
+        for r in df.select("url", "subject", "predicate", "object", "inferred").collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pages") / "pages")
+    datagen.write_pages(spark, p, 60, seed=7, partitions=4)
+    return p
+
+
+def test_full_run_then_rerun_is_noop(spark, tmp_path, pages_path):
+    out = str(tmp_path / "out")
+    r1 = run_pipeline(spark, pages_path, out, CFG)
+    assert r1["pages"] == 60 and r1["triples"] > 0
+    baseline = _spo_set(_read_triples(spark, out))
+
+    r2 = run_pipeline(spark, pages_path, out, CFG)
+    assert r2["pages"] == 0  # every bucket has a success manifest → skipped
+    assert _spo_set(_read_triples(spark, out)) == baseline
+
+
+def test_partial_run_resumes_to_identical_table(spark, tmp_path, pages_path):
+    """Simulate a crash after some buckets: run with only half the
+    buckets' manifests surviving, then resume; final table must equal an
+    uninterrupted run's."""
+    out_full = str(tmp_path / "full")
+    run_pipeline(spark, pages_path, out_full, CFG)
+    want = _spo_set(_read_triples(spark, out_full))
+
+    out = str(tmp_path / "resumed")
+    run_pipeline(spark, pages_path, out, CFG)
+    # "crash": drop the manifest rows for half the buckets (their data
+    # files may or may not have landed — dynamic overwrite must handle both)
+    mpath = os.path.join(out, "manifests")
+    m = spark.read.parquet(mpath)
+    kept = m.filter(F.col("bucket") % 2 == 0)
+    kept.write.mode("overwrite").parquet(str(tmp_path / "m2"))
+    spark.read.parquet(str(tmp_path / "m2")).write.mode("overwrite").parquet(mpath)
+
+    r = run_pipeline(spark, pages_path, out, CFG)
+    assert 0 < r["pages"] < 60  # only the un-manifested buckets re-ran
+    assert _spo_set(_read_triples(spark, out)) == want
+
+
+def test_force_reruns_everything(spark, tmp_path, pages_path):
+    out = str(tmp_path / "out")
+    run_pipeline(spark, pages_path, out, CFG)
+    r = run_pipeline(spark, pages_path, out, CFG, force=True)
+    assert r["pages"] == 60
+
+
+def test_entities_edges_tables(spark, tmp_path, pages_path):
+    out = str(tmp_path / "out")
+    run_pipeline(spark, pages_path, out, CFG)
+    ents = spark.read.parquet(os.path.join(out, "entities"))
+    edges = spark.read.parquet(os.path.join(out, "edges"))
+    assert ents.filter(F.col("degree") < 0).count() == 0
+    assert set(edges.columns) == {"src", "dst", "predicate", "inferred"}
+    # every edge endpoint is a known entity
+    e = ents.select(F.col("entity").alias("src"))
+    assert edges.join(e, "src", "left_anti").count() == 0
