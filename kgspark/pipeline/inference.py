@@ -68,14 +68,18 @@ def lexical_inference(triples: DataFrame) -> DataFrame:
     e2 = ents.select(F.col("url").alias("u2"), F.col("entity").alias("e2"))
     pairs = e1.join(e2, (e1["u"] == e2["u2"]) & (e1["e1"] < e2["e2"])).select("u", "e1", "e2")
 
-    # skip pairs already connected in either direction (original edges only)
-    edges = triples.select(F.col("url").alias("u"), F.col("subject").alias("s"),
-                           F.col("object").alias("o")).distinct()
+    # skip pairs already connected in either direction (original edges
+    # only).  pairs are enumerated with e1 < e2, so one anti-join against
+    # the canonically-oriented edge set covers both directions — one
+    # shuffle instead of two.
+    edges = triples.select(
+        F.col("url").alias("u"),
+        F.least("subject", "object").alias("x"),
+        F.greatest("subject", "object").alias("y"),
+    ).distinct()
     pairs = pairs.join(
-        edges, (pairs["u"] == edges["u"]) & (pairs["e1"] == edges["s"]) & (pairs["e2"] == edges["o"]),
-        "left_anti")
-    pairs = pairs.join(
-        edges, (pairs["u"] == edges["u"]) & (pairs["e2"] == edges["s"]) & (pairs["e1"] == edges["o"]),
+        edges,
+        (pairs["u"] == edges["u"]) & (pairs["e1"] == edges["x"]) & (pairs["e2"] == edges["y"]),
         "left_anti")
 
     l1, l2 = F.lower("e1"), F.lower("e2")

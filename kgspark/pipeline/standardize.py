@@ -37,13 +37,19 @@ def build_entity_map(triples: DataFrame) -> DataFrame:
     )
     blocked = ents.withColumn("norm", norm_key(F.col("entity"))).filter(F.col("norm") != "")
 
-    # O-14: canonical pick per block — order (-count, char-len, lexical)
-    w = Window.partitionBy("url", "norm").orderBy(
-        F.desc("cnt"), F.length("entity"), F.col("entity")
-    )
-    picked = blocked.withColumn("_rn", F.row_number().over(w))
-    std_of_block = picked.filter(F.col("_rn") == 1).select(
-        "url", "norm", F.col("entity").alias("std1")
+    # O-14: canonical pick per block — order (-count, char-len, lexical).
+    # min_by over the composite struct == row_number()==1 over the same
+    # orderBy, but aggregates map-side (partial min per partition) instead
+    # of a full sort — one less shuffle-sort on the hot path.
+    std_of_block = blocked.groupBy("url", "norm").agg(
+        F.min_by(
+            "entity",
+            F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.length("entity").alias("len"),
+                F.col("entity").alias("e"),
+            ),
+        ).alias("std1")
     )
     map1 = blocked.join(std_of_block, ["url", "norm"]).select(
         "url", F.col("entity").alias("variant"), "std1"
