@@ -25,13 +25,23 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def word_ngrams(col: Column, n: int) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side)."""
+    """Distinct word n-gram shingles of a text column (JVM-side).
+
+    Docs with fewer than ``n`` words (including empty/whitespace-only
+    text) yield an empty array — mirroring DuckDB's
+    ``generate_series(1, 0)`` → empty — instead of letting
+    ``F.sequence(1, 0)`` emit a descending [1, 0] whose index-0 slice
+    throws INVALID_PARAMETER_VALUE.START.
+    """
     words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
             lambda i: F.array_join(F.slice(words, i, n), " "),
         )
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

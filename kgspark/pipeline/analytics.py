@@ -27,11 +27,13 @@ def top_predicates(triples: DataFrame, k: int = 20) -> DataFrame:
     """A-2: top-k predicates with percentage (analyze_kg_data.py:50-64).
     Deterministic tie-break on the predicate string."""
     counts = triples.groupBy("predicate").agg(F.count("*").alias("cnt"))
-    total = Window.partitionBy()
+    # scalar-agg denominator + broadcast crossJoin instead of an
+    # unpartitioned window (which funnels every row through one partition)
+    total = F.broadcast(counts.agg(F.sum("cnt").alias("_total")))
     return (
-        counts.withColumn(
-            "pct", F.round(F.col("cnt") * 100.0 / F.sum("cnt").over(total), 4)
-        )
+        counts.crossJoin(total)
+        .withColumn("pct", F.round(F.col("cnt") * 100.0 / F.col("_total"), 4))
+        .drop("_total")
         .orderBy(F.desc("cnt"), "predicate")
         .limit(k)
     )
@@ -123,9 +125,13 @@ def degree_centrality(triples: DataFrame, k: int = 10) -> DataFrame:
         triples.select(F.col("object").alias("a"), F.col("subject").alias("b"))
     ).distinct()
     deg = und.groupBy(F.col("a").alias("entity")).agg(F.count("*").alias("degree"))
-    n = deg.count()
+    # node count as a broadcast scalar, not a driver-side deg.count()
+    # action mid-plan-construction (one job instead of two)
+    n = F.broadcast(deg.agg(F.greatest(F.count("*") - 1, F.lit(1)).alias("_nm1")))
     return (
-        deg.withColumn("centrality", F.round(F.col("degree") / F.lit(max(n - 1, 1)), 6))
+        deg.crossJoin(n)
+        .withColumn("centrality", F.round(F.col("degree") / F.col("_nm1"), 6))
+        .drop("_nm1")
         .orderBy(F.desc("degree"), "entity")
         .limit(k)
     )

@@ -134,8 +134,23 @@ def link_entities(triples: DataFrame, cfg: KgConfig) -> DataFrame:
     return out
 
 
-def apply_linking(triples: DataFrame, link_map: DataFrame) -> DataFrame:
-    """Rewrite subject/object through the (variant → canon) map."""
+def apply_linking(triples: DataFrame, link_map: DataFrame,
+                  broadcast_map: bool | None = None,
+                  max_broadcast_rows: int = 5_000_000) -> DataFrame:
+    """Rewrite subject/object through the (variant → canon) map.
+
+    Same broadcast-vs-shuffle sizing as
+    ``standardize.apply_entity_map``: the link map grows with the entity
+    vocabulary, so broadcast only under ``max_broadcast_rows``
+    (cfg ``broadcast_map_max_rows``); above it the two applies shuffle
+    on the entity key.
+    """
+    if broadcast_map is None:
+        from pyspark import StorageLevel
+        link_map = link_map.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_map = link_map.count() <= max_broadcast_rows
+    if broadcast_map:
+        link_map = F.broadcast(link_map)
     ms = link_map.select(F.col("variant").alias("_vs"), F.col("canon").alias("_cs"))
     mo = link_map.select(F.col("variant").alias("_vo"), F.col("canon").alias("_co"))
     out = (

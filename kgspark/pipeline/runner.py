@@ -59,7 +59,8 @@ def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
     chunks = chunking.chunk_pages(pages, cfg.chunk_size, cfg.overlap)
     out = cut(extraction.extract_raw_triples(chunks))
     if cfg.standardization_enabled:
-        out = cut(standardize.standardize(out))
+        out = cut(standardize.standardize(
+            out, max_broadcast_rows=cfg.broadcast_map_max_rows))
     else:
         out = out.withColumn("chunk", F.coalesce("chunk", F.lit(0)).cast("int"))
     if cfg.inference_enabled:
@@ -71,7 +72,8 @@ def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
         # barrier before the LSH self-join: linking scans its input many
         # times (signatures, bands, verify, CC) — see module docstring
         out = cut(out)
-        out = linking.apply_linking(out, linking.link_entities(out, cfg))
+        out = linking.apply_linking(out, linking.link_entities(out, cfg),
+                                    max_broadcast_rows=cfg.broadcast_map_max_rows)
     return out
 
 

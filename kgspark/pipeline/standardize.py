@@ -105,9 +105,22 @@ def build_entity_map(triples: DataFrame) -> DataFrame:
 
 
 def apply_entity_map(triples: DataFrame, entity_map: DataFrame,
-                     broadcast_map: bool = True) -> DataFrame:
+                     broadcast_map: bool | None = None,
+                     max_broadcast_rows: int = 5_000_000) -> DataFrame:
     """O-16: rewrite subject/object via the mapping; predicate limit;
-    default chunk 0; drop self-loops (reference :164-186)."""
+    default chunk 0; drop self-loops (reference :164-186).
+
+    ``broadcast_map=None`` (default) sizes the map with a count and
+    broadcasts only under ``max_broadcast_rows`` (cfg
+    ``broadcast_map_max_rows``): the map is per-url so it grows linearly
+    with the corpus — an unconditional broadcast OOMs at scale.  Above
+    the cutoff the joins shuffle on (url, variant) instead; the map is
+    persisted either way since both the subject and object joins scan it.
+    """
+    if broadcast_map is None:
+        from pyspark import StorageLevel
+        entity_map = entity_map.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_map = entity_map.count() <= max_broadcast_rows
     m = F.broadcast(entity_map) if broadcast_map else entity_map
     ms = m.select(F.col("url").alias("_us"), F.col("variant").alias("_vs"),
                   F.col("std").alias("_std_s"))
@@ -134,6 +147,8 @@ def apply_entity_map(triples: DataFrame, entity_map: DataFrame,
     )
 
 
-def standardize(triples: DataFrame, broadcast_map: bool = True) -> DataFrame:
+def standardize(triples: DataFrame, broadcast_map: bool | None = None,
+                max_broadcast_rows: int = 5_000_000) -> DataFrame:
     """Full phase 2: build the per-url entity map and apply it."""
-    return apply_entity_map(triples, build_entity_map(triples), broadcast_map)
+    return apply_entity_map(triples, build_entity_map(triples),
+                            broadcast_map, max_broadcast_rows)

@@ -38,6 +38,26 @@ def test_lsh_recall_vs_exact(spark, docs):
     assert lsh == exact
 
 
+def test_short_docs_do_not_crash_shingling(spark):
+    """Docs with fewer than n words (or empty text) must produce empty
+    shingle arrays, not a SparkRuntimeException from F.slice — real
+    corpora contain short/empty documents (ADVICE r01)."""
+    d = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "   "),
+         (5, "a b c d e f g h"), (6, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    sh = d.select(dedupe.word_ngrams(F.col("text"), 3).alias("sh")).collect()
+    assert [len(r.sh) for r in sh] == [0, 0, 0, 0, 6, 6]
+    # end-to-end through each tier: must run and only pair the twin docs
+    exact = dedupe.jaccard_pairs_exact(d, "doc_id", "text", 3, 0.7).collect()
+    assert {(r.id1, r.id2) for r in exact} == {(5, 6)}
+    sig = dedupe.minhash_signature(d, "doc_id", "text", 3, 4).collect()
+    assert {r.id for r in sig} == {5, 6}  # shingle-less docs have no sig
+    lsh = dedupe.lsh_dup_pairs(d, "doc_id", "text", 3, 16, 8, 0.7).collect()
+    assert {(r.id1, r.id2) for r in lsh} == {(5, 6)}
+
+
 def test_minhash_md5_xxhash_consistent_shape(spark, docs):
     sig = dedupe.minhash_signature(docs, "doc_id", "text", n=3, k=4, hash_fn="md5")
     row = sig.limit(1).collect()[0]
