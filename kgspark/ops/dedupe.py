@@ -153,27 +153,46 @@ def lsh_dup_pairs(
     return verified.select("id1", "id2", "jaccard")
 
 
-def simhash_blocks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, blocks): 64-bit SimHash over words as FOUR 16-bit blocks
-    (array<int>) — per-bit majority vote of xxhash64(word) bits.
+def simhash_blocks(df: DataFrame, id_col: str, text_col: str,
+                   n_blocks: int = 4, hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, blocks): 64-bit SimHash over words as ``n_blocks`` equal-width
+    blocks (array<int>) — per-bit majority vote of hash(word) bits.
 
     Block representation avoids signed-64-bit overflow under ANSI mode and
     doubles as the banding key for pair blocking; all JVM-side array
-    arithmetic (no UDF)."""
+    arithmetic (no UDF).  ``hash_fn='md5'`` derives the 64 word bits from
+    four 16-bit md5-hex chunks (replayable in DuckDB → drives the SQL
+    oracle); ``'xxhash64'`` is the JVM-native production path.
+    """
+    assert 64 % n_blocks == 0, "n_blocks must divide 64"
+    bpb = 64 // n_blocks
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
         ).alias("w"),
-    ).withColumn("h", F.xxhash64("w"))
+    )
     # per-word vote vector: +1/-1 per bit position 0..63
-    bits = words.select(
-        "id",
-        F.array(*[
+    if hash_fn == "md5":
+        # bit i lives in 16-bit md5-hex chunk i//16 at offset i%16
+        bits_src = words.withColumn("_m", F.md5("w"))
+        vote_arr = F.array(*[
+            F.when(
+                F.shiftright(
+                    F.conv(F.substring(F.col("_m"), 1 + 4 * (i // 16), 4), 16, 10)
+                    .cast("int"),
+                    i % 16,
+                ).bitwiseAND(F.lit(1)) == 1, 1,
+            ).otherwise(-1)
+            for i in range(64)
+        ])
+    else:
+        bits_src = words.withColumn("h", F.xxhash64("w"))
+        vote_arr = F.array(*[
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             for i in range(64)
-        ]).alias("v"),
-    )
+        ])
+    bits = bits_src.select("id", vote_arr.alias("v"))
     summed = bits.groupBy("id").agg(
         F.aggregate(
             F.collect_list("v"),
@@ -183,19 +202,30 @@ def simhash_blocks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     blocks = F.array(*[
         F.aggregate(
-            F.slice(F.col("votes"), b * 16 + 1, 16),
+            F.slice(F.col("votes"), b * bpb + 1, bpb),
             F.lit(0),
             lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
         )
-        for b in range(4)
+        for b in range(n_blocks)
     ])
     return summed.select("id", blocks.alias("blocks"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_dist: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_dist, blocked on 16-bit
-    quarters (a pair within distance ≤3 must agree on ≥1 of 4 blocks)."""
-    sig = simhash_blocks(df, id_col, text_col)
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_dist: int = 3,
+                  n_blocks: int = 4, hash_fn: str = "xxhash64",
+                  allow_approximate: bool = False) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_dist, blocked on
+    64/n_blocks-bit blocks.  Pigeonhole: a pair within distance
+    ≤ n_blocks-1 must agree on ≥1 block, so recall is total for
+    ``max_dist < n_blocks``.  Beyond that bound candidate generation can
+    silently drop true pairs — refuse unless ``allow_approximate``."""
+    if max_dist >= n_blocks and not allow_approximate:
+        raise ValueError(
+            f"max_dist={max_dist} voids the {n_blocks}-block recall "
+            f"guarantee (holds only for max_dist <= {n_blocks - 1}); use "
+            f"more blocks or pass allow_approximate=True"
+        )
+    sig = simhash_blocks(df, id_col, text_col, n_blocks, hash_fn)
     blocks = sig.select(
         "id", F.col("blocks").alias("s"),
         F.posexplode(F.col("blocks")).alias("block", "key"),

@@ -94,13 +94,22 @@ def eigenvector_centrality(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
-    tol: float = 1e-6,
+    tol: float | None = 1e-6,
     checkpoint_every: int = 5,
+    raise_on_no_convergence: bool = False,
 ) -> DataFrame:
     """Eigenvector centrality by power iteration over the undirected
     simple graph — iterative join-agg (the PageRank skeleton), reference
     analog: networkx eigenvector_centrality at visualization.py:170-177
     (max_iter=1000 driver-side; ours distributes).
+
+    Convergence is the networkx rule — L1 delta of the iterate,
+    ``sum(|x_new - x_old|) < n * tol`` — not a norm-estimate comparison,
+    which oscillating bipartite/periodic iterates can fool (two distinct
+    vectors with equal norms).  ``tol=None`` runs exactly ``max_iter``
+    iterations (deterministic, SQL-replayable — the oracle mode).
+    ``raise_on_no_convergence`` surfaces hitting max_iter without
+    converging, like networkx's PowerIterationFailedConvergence.
 
     Returns (node, centrality) with the L2-normalized dominant
     eigenvector, like networkx."""
@@ -114,9 +123,9 @@ def eigenvector_centrality(
     n = nodes.count()
     x = nodes.withColumn("score", F.lit(1.0 / (n ** 0.5))).persist()
 
-    last_norm = None
+    converged = False
     for it in range(max_iter):
-        # y = A x  (sum neighbor scores), keep isolated mass at 0
+        # y = A x  (sum neighbor scores); every node has >=1 und neighbor
         y = (
             und.join(x, und["b"] == x["node"])
             .groupBy(und["a"].alias("node"))
@@ -129,11 +138,23 @@ def eigenvector_centrality(
         if (it + 1) % checkpoint_every == 0:
             new_x = new_x.localCheckpoint(eager=True)
         new_x = new_x.persist()
+        if tol is not None:
+            delta = (
+                new_x.withColumnRenamed("score", "s_new")
+                .join(x, "node")
+                .agg(F.sum(F.abs(F.col("s_new") - F.col("score"))).alias("d"))
+                .collect()[0][0]
+            )
+            converged = delta is not None and delta < n * tol
         x.unpersist()
         x = new_x
-        if last_norm is not None and abs(norm - last_norm) < tol * norm:
+        if converged:
             break
-        last_norm = norm
+    if tol is not None and not converged and raise_on_no_convergence:
+        raise RuntimeError(
+            f"eigenvector_centrality did not converge within {max_iter} "
+            f"iterations (tol={tol})"
+        )
     und.unpersist()
     return x.select("node", F.col("score").alias("centrality"))
 

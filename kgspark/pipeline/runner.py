@@ -40,27 +40,50 @@ MANIFEST_SCHEMA = T.StructType(
 
 
 def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
-                  materialize: bool = True) -> DataFrame:
+                  materialize: bool | str = True,
+                  timings: dict | None = None) -> DataFrame:
     """pages → final triples DataFrame (no I/O).
 
-    ``materialize=True`` localCheckpoints after extraction and after each
-    phase: phases 2-3 each branch over their input several times (entity
-    map + two apply joins; originals/transitive/lexical/edges), so without
-    a materialization barrier the Arrow-UDF extraction re-executes once
-    per branch (measured 5× wall-clock at sf0.1).  On a cluster the same
-    role is played by persist(MEMORY_AND_DISK) or the inter-stage tables
-    the runner writes.
+    ``materialize`` picks the inter-phase barrier.  Phases 2-3 each branch
+    over their input several times (entity map + two apply joins;
+    originals/transitive/lexical/edges), so without a materialization
+    barrier the Arrow-UDF extraction re-executes once per branch
+    (measured 5× wall-clock at sf0.1):
+
+      * ``"localCheckpoint"`` / ``True`` — eager executor-local
+        checkpoint: truncates lineage (keeps the composed plan small),
+        but checkpointed blocks die with their executor — the
+        single-JVM/local answer.
+      * ``"persist"`` — lazy MEMORY_AND_DISK persist: blocks are
+        recomputable from lineage on executor loss — the cluster answer.
+      * ``False`` / ``"none"`` — no barrier (tiny inputs only).
+
+    ``timings`` (optional dict) collects per-phase wall seconds for the
+    eager strategies — the scaling bench uses it to locate non-scaling
+    phases.
     """
-    def cut(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True) if materialize else df
+    strategy = "localCheckpoint" if materialize is True else (
+        "none" if materialize is False else materialize)
+
+    def cut(df: DataFrame, name: str) -> DataFrame:
+        t0 = time.time()
+        if strategy == "localCheckpoint":
+            df = df.localCheckpoint(eager=True)
+        elif strategy == "persist":
+            from pyspark import StorageLevel
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()  # force now so the phase is timed and run once
+        if timings is not None:
+            timings[name] = round(time.time() - t0, 2)
+        return df
 
     if from_html:
         pages = ingest.with_extracted_text(pages)
     chunks = chunking.chunk_pages(pages, cfg.chunk_size, cfg.overlap)
-    out = cut(extraction.extract_raw_triples(chunks))
+    out = cut(extraction.extract_raw_triples(chunks), "extract")
     if cfg.standardization_enabled:
         out = cut(standardize.standardize(
-            out, max_broadcast_rows=cfg.broadcast_map_max_rows))
+            out, max_broadcast_rows=cfg.broadcast_map_max_rows), "standardize")
     else:
         out = out.withColumn("chunk", F.coalesce("chunk", F.lit(0)).cast("int"))
     if cfg.inference_enabled:
@@ -71,7 +94,7 @@ def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
     if cfg.lsh_linking_enabled:
         # barrier before the LSH self-join: linking scans its input many
         # times (signatures, bands, verify, CC) — see module docstring
-        out = cut(out)
+        out = cut(out, "infer")
         out = linking.apply_linking(out, linking.link_entities(out, cfg),
                                     max_broadcast_rows=cfg.broadcast_map_max_rows)
     return out

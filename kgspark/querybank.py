@@ -1044,15 +1044,49 @@ SQL_DEDUP_LSH = f"""
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash near-dup pairs (xxhash64-based — rows-only driver check;
-    recall/precision asserted against exact Jaccard in pytest)."""
+    """SimHash near-dup pairs in the guaranteed-recall regime: 8×8-bit
+    blocks cover hamming ≤ 7 by pigeonhole, so the blocked Spark result
+    equals the all-pairs exact-hamming DuckDB replay (md5-derived word
+    bits on both sides)."""
     return dedupe.simhash_pairs(
-        _docs_with_near_dups(spark, sf), "doc_id", "text", max_dist=12
+        _docs_with_near_dups(spark, sf), "doc_id", "text",
+        max_dist=7, n_blocks=8, hash_fn="md5",
     ).select(
         F.col("id1").cast("long").alias("id1"),
         F.col("id2").cast("long").alias("id2"),
         F.col("hamming").cast("long").alias("hamming"),
     ).orderBy("id1", "id2")
+
+
+SQL_DEDUP_SIMHASH = f"""
+    WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+    words AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))) AS w
+        FROM corpus),
+    -- bit i of a word lives in 16-bit md5-hex chunk i//16 at offset i%16
+    votes AS (
+        SELECT doc_id, b.bit,
+               sum(CASE WHEN (
+                     (('0x' || substr(md5(w), 1 + 4 * (b.bit // 16), 4))::INTEGER
+                      >> (b.bit % 16)) & 1) = 1
+                   THEN 1 ELSE -1 END) AS v
+        FROM words, (SELECT unnest(generate_series(0, 63)) AS bit) b
+        GROUP BY doc_id, b.bit),
+    -- 8-bit block value: earlier bit index is more significant (fold order)
+    blocks AS (
+        SELECT doc_id, bit // 8 AS blk,
+               sum(CASE WHEN v > 0 THEN (1 << (7 - (bit % 8))) ELSE 0 END) AS val
+        FROM votes GROUP BY doc_id, bit // 8),
+    sigs AS (SELECT doc_id, list(val ORDER BY blk) AS s FROM blocks GROUP BY doc_id)
+    SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, hamming::BIGINT AS hamming
+    FROM (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               list_sum(list_transform(generate_series(1, 8),
+                   i -> bit_count(xor(a.s[i]::BIGINT, b.s[i]::BIGINT)))) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+    WHERE hamming <= 7
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1334,7 +1368,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_lsh": (q_dedup_lsh, SQL_DEDUP_LSH),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "emb_topk": (q_emb_topk, SQL_EMB_TOPK),
     "emb_dup_pairs": (q_emb_dup_pairs, SQL_EMB_DUP_PAIRS),
     "emb_ann_topk": (q_emb_ann_topk, None),
@@ -1411,18 +1445,57 @@ SQL_KG_TRIANGLES = f"""
 """
 
 
+_EIG_ITERS = 30
+
+
 def q_kg_eigenvector(spark, sf):
     """A-15: eigenvector centrality by distributed power iteration over
-    the geo graph (rows-only driver check; verified against numpy's dense
-    power iteration in pytest)."""
+    the geo graph.  Fixed-iteration mode (tol=None) so DuckDB replays the
+    exact same 30 normalized iterations; also numpy-verified in pytest."""
     from kgspark.pipeline.graph import eigenvector_centrality
     edges = relational.geo_graph_triples(spark, sf).select(
         F.col("subject").alias("src"), F.col("object").alias("dst")
     )
-    out = eigenvector_centrality(edges, max_iter=30)
+    out = eigenvector_centrality(edges, max_iter=_EIG_ITERS, tol=None)
     return out.select("node", F.round("centrality", 4).alias("centrality")) \
               .orderBy(F.desc("centrality"), "node").limit(25)
 
 
+def _eigenvector_sql(iters: int) -> str:
+    """Unrolled power iteration: x_{k+1} = A x_k / ||A x_k||_2, replaying
+    eigenvector_centrality(tol=None) CTE-by-CTE (recursive CTEs cannot
+    aggregate over the prior iterate, so the loop is unrolled)."""
+    # MATERIALIZED: DuckDB would otherwise inline trip/und into all 30
+    # iterations and re-open the parquet files past the fd limit
+    ctes = [
+        f"trip AS MATERIALIZED ({relational.GEO_GRAPH_TRIPLES_SQL})",
+        """und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+            SELECT subject AS a, object AS b FROM trip
+            UNION ALL SELECT object, subject FROM trip))""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM und)",
+        "x0 AS (SELECT node, 1.0 / sqrt((SELECT count(*) FROM nodes)) AS score FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        # each iterate MATERIALIZED: y{k} is referenced twice (values +
+        # norm subquery) — inlining would double the tree per level and
+        # blow up 2^iters
+        ctes.append(
+            f"y{k} AS MATERIALIZED (SELECT u.a AS node, sum(x.score) AS raw "
+            f"FROM und u JOIN x{k-1} x ON u.b = x.node GROUP BY u.a)"
+        )
+        ctes.append(
+            f"x{k} AS MATERIALIZED (SELECT node, "
+            f"raw / (SELECT sqrt(sum(raw*raw)) FROM y{k}) AS score FROM y{k})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, round(score, 4) AS centrality FROM x{iters}
+    ORDER BY centrality DESC, node LIMIT 25"""
+    )
+
+
+SQL_KG_EIGENVECTOR = _eigenvector_sql(_EIG_ITERS)
+
 QUERIES["kg_triangles"] = (q_kg_triangles, SQL_KG_TRIANGLES)
-QUERIES["kg_eigenvector"] = (q_kg_eigenvector, None)
+QUERIES["kg_eigenvector"] = (q_kg_eigenvector, SQL_KG_EIGENVECTOR)

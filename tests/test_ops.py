@@ -92,6 +92,36 @@ def test_simhash_block_guarantee(spark, docs):
         assert ham(sig[i], sig[j]) <= 3
 
 
+def test_simhash_guard_and_md5_regime(spark, docs):
+    """max_dist beyond the pigeonhole bound must be refused, and the
+    8×8-bit md5 regime (the oracled driver query) must satisfy total
+    recall at hamming ≤ 7."""
+    with pytest.raises(ValueError):
+        dedupe.simhash_pairs(docs, "doc_id", "text", max_dist=12)
+
+    sig = {r.id: tuple(r.blocks)
+           for r in dedupe.simhash_blocks(docs, "doc_id", "text",
+                                          n_blocks=8, hash_fn="md5").collect()}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    found = {
+        (r.id1, r.id2): r.hamming
+        for r in dedupe.simhash_pairs(docs, "doc_id", "text", max_dist=7,
+                                      n_blocks=8, hash_fn="md5").collect()
+    }
+    # exact check vs all-pairs hamming on the collected signatures
+    ids = sorted(sig)
+    expect = {
+        (i, j): ham(sig[i], sig[j])
+        for x, i in enumerate(ids) for j in ids[x + 1:]
+        if ham(sig[i], sig[j]) <= 7
+    }
+    assert found == expect
+    assert expect, "fixture must plant pairs within hamming 7"
+
+
 def test_simhash_deterministic(spark, docs):
     a = sorted(map(tuple, dedupe.simhash_blocks(docs, "doc_id", "text").collect()))
     b = sorted(map(tuple, dedupe.simhash_blocks(docs, "doc_id", "text").collect()))

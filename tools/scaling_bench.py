@@ -35,7 +35,9 @@ from kgspark.pipeline.runner import build_triples
 from kgspark.pipeline import ingest
 
 cpus = int(sys.argv[1]); path = sys.argv[2]
-spark = get_session(master=f"local[{{cpus}}]", shuffle_partitions=cpus,
+mat = os.environ.get("KGSPARK_MAT", "localCheckpoint")
+shuffle = int(os.environ.get("KGSPARK_SHUFFLE_PARTITIONS", "0")) or cpus
+spark = get_session(master=f"local[{{cpus}}]", shuffle_partitions=shuffle,
                     driver_memory="16g",
                     extra_conf={{"spark.local.dir": "/dev/shm/spark-local"}})
 pages = ingest.read_pages(spark, path)
@@ -45,10 +47,16 @@ pages = ingest.read_pages(spark, path)
 build_triples(pages.limit(60).repartition(cpus), KgConfig(), from_html=True).count()
 t0 = time.time()
 pages = pages.repartition(cpus)
-triples = build_triples(pages, KgConfig(), from_html=True)
+timings = {{}}
+triples = build_triples(pages, KgConfig(), from_html=True,
+                        materialize=mat, timings=timings)
+tc = time.time()
 n = triples.count()
+timings["infer+count"] = round(time.time() - tc, 2)
 dt = time.time() - t0
-print(json.dumps({{"cpus": cpus, "seconds": round(dt, 2), "triples": n}}))
+print(json.dumps({{"cpus": cpus, "seconds": round(dt, 2), "triples": n,
+                   "mat": mat, "shuffle_partitions": shuffle,
+                   "phases": timings}}))
 spark.stop()
 """
 
@@ -82,6 +90,7 @@ def main():
             line = [ln for ln in out.stdout.strip().splitlines()
                     if ln.startswith("{")][-1]
             r = json.loads(line)
+            print(json.dumps(r), file=sys.stderr)
             if best is None or r["seconds"] < best["seconds"]:
                 best = r
         results[cpus] = best
