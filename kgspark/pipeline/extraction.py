@@ -58,3 +58,72 @@ def extract_raw_triples(chunks: DataFrame) -> DataFrame:
         )
         .withColumnRenamed("chunk_id", "chunk")
     )
+
+
+_FUSED_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("chunk", T.IntegerType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("subject", T.StringType()),
+            T.StructField("predicate", T.StringType()),
+            T.StructField("object", T.StringType()),
+        ]
+    )
+)
+
+
+def extract_pipeline_fused(pages: DataFrame, chunk_size: int = 100,
+                           overlap: int = 20, from_html: bool = True,
+                           t2s: bool = False) -> DataFrame:
+    """Phase 1 in ONE Arrow pass: html/text → [t2s] → chunk → pattern
+    extraction, emitted as an array of (chunk, pos, s, p, o) structs and
+    exploded JVM-side.
+
+    Same kernels, same output as the modular
+    ``with_extracted_text → chunk_pages → extract_raw_triples`` chain
+    (parity-asserted in tests) — but the document text crosses the
+    JVM↔Python Arrow boundary ONCE instead of three times, which is the
+    phase-1 hot-path cost at corpus scale.  The modular stages remain the
+    unit-testable / driver-query surface."""
+    src_col = "html" if from_html else "text"
+
+    @F.pandas_udf(_FUSED_T)
+    def fused_udf(src: pd.Series) -> pd.Series:
+        from kgspark.kernels.html_extract import extract_text
+        from kgspark.kernels.textproc import chunk_text, t2s_convert
+        from kgspark.kernels.triple_extract import extract_triples
+
+        def go(v):
+            text = extract_text(v) if from_html else (v or "")
+            if t2s:
+                text = t2s_convert(text or "")
+            out = []
+            for ci, chunk in enumerate(
+                chunk_text(text or "", max_length=chunk_size, overlap=overlap),
+                start=1,
+            ):
+                for pos, t in enumerate(extract_triples(chunk or "")):
+                    out.append((ci, pos, t["subject"], t["predicate"], t["object"]))
+            return out
+
+        return src.map(go)
+
+    keep = [c for c in pages.columns if c in ("url", "bucket")]
+    exploded = pages.select(
+        *keep, F.explode(fused_udf(F.col(src_col))).alias("t")
+    )
+    return (
+        exploded.select(
+            *keep,
+            F.col("t.chunk").alias("chunk"),
+            (F.col("t.chunk").cast("long") * F.lit(_SEQ_BASE)
+             + F.col("t.pos")).alias("seq"),
+            F.trim(F.col("t.subject")).alias("subject"),
+            F.trim(F.col("t.predicate")).alias("predicate"),
+            F.trim(F.col("t.object")).alias("object"),
+        )
+        .filter(
+            (F.col("subject") != "") & (F.col("predicate") != "") & (F.col("object") != "")
+        )
+    )

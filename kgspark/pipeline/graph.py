@@ -34,8 +34,12 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # the label table's key is aliased (_lk): labels derive from und, and
+    # joining two lineages of the same column is ambiguous in Spark
+    lkcols = ["_lk"] if key else []
     labels = (
-        und.select(*kcols, F.col("a").alias("node"))
+        und.select(*[F.col(k).alias("_lk") for k in kcols],
+                   F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .persist()
@@ -44,16 +48,16 @@ def connected_components(
     for it in range(max_iter):
         cond = [und["b"] == labels["node"]]
         if key:
-            cond.append(und[key] == labels[key])
+            cond.append(und[key] == labels["_lk"])
         prop = und.join(labels, cond, "inner").select(
-            *[und[k] for k in kcols],
+            *[und[k].alias("_lk") for k in kcols],
             und["a"].alias("node"),
             labels["component"].alias("component"),
         )
         new_labels = (
-            labels.select(*kcols, "node", "component")
+            labels.select(*lkcols, "node", "component")
             .union(prop)
-            .groupBy(*kcols, "node")
+            .groupBy(*lkcols, "node")
             .agg(F.min("component").alias("component"))
         )
         if (it + 1) % checkpoint_every == 0:
@@ -61,7 +65,7 @@ def connected_components(
         new_labels = new_labels.persist()
         changed = (
             new_labels.withColumnRenamed("component", "c_new")
-            .join(labels, [*kcols, "node"])
+            .join(labels, [*lkcols, "node"])
             .filter(F.col("c_new") != F.col("component"))
             .limit(1)
             .count()
@@ -71,6 +75,8 @@ def connected_components(
         if changed == 0:
             break
     und.unpersist()
+    if key:
+        labels = labels.withColumnRenamed("_lk", key)
     return labels
 
 
@@ -159,50 +165,117 @@ def eigenvector_centrality(
     return x.select("node", F.col("score").alias("centrality"))
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",
+                    key: str | None = None) -> DataFrame:
     """Per-node triangle count over the undirected simple graph via the
     canonical-orientation 2-hop join (each triangle counted once as
     a<b<c, then credited to all three corners).  The A-9 clustering
-    building block; shuffle cost |E|^{3/2}-ish, AQE-skew-safe."""
+    building block; shuffle cost |E|^{3/2}-ish, AQE-skew-safe.  With
+    ``key``, triangles are counted per (key, node) — one job for all
+    periods instead of a driver-side loop."""
+    kcols = [key] if key else []
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(*kcols, F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(*kcols, F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
     fwd = und.filter(F.col("a") < F.col("b")).persist()  # canonical orientation
-    e1 = fwd.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = fwd.select(F.col("a").alias("y2"), F.col("b").alias("z"))
-    wedges = e1.join(e2, e1["y"] == e2["y2"]).select("x", "y", "z")
-    tri = wedges.join(
-        fwd.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
-    ).select("x", "y", "z")
-    corners = (
-        tri.select(F.col("x").alias("node"))
-        .union(tri.select(F.col("y").alias("node")))
-        .union(tri.select(F.col("z").alias("node")))
+    e1 = fwd.select(*kcols, F.col("a").alias("x"), F.col("b").alias("y"))
+    # alias the group key on the second wedge side: both sides derive
+    # from fwd, and joining on the same lineage column is ambiguous
+    e2 = fwd.select(
+        *([F.col(key).alias("_k2")] if key else []),
+        F.col("a").alias("y2"), F.col("b").alias("z"),
     )
-    counts = corners.groupBy("node").agg(F.count("*").alias("triangles"))
-    all_nodes = und.select(F.col("a").alias("node")).distinct()
+    wcond = [e1["y"] == e2["y2"]] + ([e1[key] == e2["_k2"]] if key else [])
+    wedges = e1.join(e2, wcond).select(*[e1[k] for k in kcols], "x", "y", "z")
+    tri = wedges.join(
+        fwd.select(*kcols, F.col("a").alias("x"), F.col("b").alias("z")),
+        [*kcols, "x", "z"],
+    ).select(*kcols, "x", "y", "z")
+    corners = (
+        tri.select(*kcols, F.col("x").alias("node"))
+        .union(tri.select(*kcols, F.col("y").alias("node")))
+        .union(tri.select(*kcols, F.col("z").alias("node")))
+    )
+    counts = corners.groupBy(*kcols, "node").agg(F.count("*").alias("triangles"))
+    all_nodes = und.select(*kcols, F.col("a").alias("node")).distinct()
     fwd.unpersist()
-    return all_nodes.join(counts, "node", "left").na.fill({"triangles": 0})
+    return all_nodes.join(counts, [*kcols, "node"], "left").na.fill({"triangles": 0})
 
 
-def clustering_coefficients(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def clustering_coefficients(edges: DataFrame, src: str = "src", dst: str = "dst",
+                            key: str | None = None) -> DataFrame:
     """Per-node local clustering coefficient c = 2T / (d(d-1)); A-9's
     avg-clustering = mean over nodes (networkx average_clustering)."""
-    tri = triangle_counts(edges, src, dst)
-    deg = degrees(edges, src, dst)
+    kcols = [key] if key else []
+    tri = triangle_counts(edges, src, dst, key)
+    deg = degrees(edges, src, dst, key)
     return (
-        tri.join(deg, "node")
+        tri.join(deg, [*kcols, "node"])
         .select(
-            "node", "triangles", "degree",
+            *kcols, "node", "triangles", "degree",
             F.when(
                 F.col("degree") >= 2,
                 2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
             ).otherwise(0.0).alias("clustering"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 5,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation — the
+    deterministic stand-in for the reference's Louvain call
+    (visualization.py:186-205, viz-only).  Unlike min-label connected
+    components this CAN split a connected graph into communities: each
+    round every node adopts its neighbors' most frequent label
+    (ties: smallest label), which converges toward dense clusters.
+
+    Deterministic: synchronous updates + lexical tie-break (classic
+    async LPA is run-order dependent; the synchronous variant can
+    oscillate on bipartite structures, so we run a fixed ``max_iter``
+    rather than to convergence — the reference's Louvain is likewise
+    resolution/seed dependent).
+
+    Returns (node, label)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for it in range(max_iter):
+        votes = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(und["a"].alias("node"), F.col("label"))
+            .agg(F.count("*").alias("n"))
+        )
+        new_labels = votes.groupBy("node").agg(
+            F.min_by(
+                "label",
+                F.struct((-F.col("n")).alias("nn"), F.col("label").alias("l")),
+            ).alias("label")
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.persist()
+        labels.unpersist()
+        labels = new_labels
+    und.unpersist()
+    return labels
 
 
 def betweenness_centrality_small(

@@ -135,9 +135,17 @@ def dedup_triples(all_triples: DataFrame) -> DataFrame:
     )
 
 
-def infer(triples: DataFrame) -> DataFrame:
+def infer(triples: DataFrame, partition_by_url: bool = True) -> DataFrame:
     """Full phase 3.  Input: standardized triples
-    (url, chunk, seq, subject, predicate, object)."""
+    (url, chunk, seq, subject, predicate, object).
+
+    ``partition_by_url`` hash-partitions the input on ``url`` once:
+    every phase-3 groupBy / join key is url-prefixed, so (with
+    requireAllClusterKeysForCoPartition=false, set by the session
+    factory) the transitive/lexical joins and the edge aggregation all
+    reuse that one exchange instead of shuffling per stage."""
+    if partition_by_url:
+        triples = triples.repartition(F.col("url"))
     originals = triples.select(
         "url", "subject", "predicate", "object", "chunk", "seq",
         F.lit(False).alias("inferred"),

@@ -39,6 +39,20 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text)
 
 
+@F.pandas_udf(T.StringType())
+def t2s_udf(text: pd.Series) -> pd.Series:
+    """Arrow-batched Traditional→Simplified conversion (S-6; reference
+    analog: data_processor.py:47-62 OpenCC t2s before chunking)."""
+    from kgspark.kernels.textproc import t2s_convert
+    return text.map(lambda t: t2s_convert(t) if t is not None else None)
+
+
+def with_t2s(pages: DataFrame) -> DataFrame:
+    """Apply t2s to the ``text`` column (config-gated off by default —
+    the parity configuration matches a Simplified-script corpus)."""
+    return pages.withColumn("text", t2s_udf(F.col("text")))
+
+
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """Scan the pages table.  Iceberg when the catalog/jars are present,
     parquet layout otherwise (same schema, same downstream plan)."""

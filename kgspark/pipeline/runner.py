@@ -35,13 +35,15 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("started_at", T.DoubleType()),
         T.StructField("finished_at", T.DoubleType()),
         T.StructField("status", T.StringType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
 
 def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
                   materialize: bool | str = True,
-                  timings: dict | None = None) -> DataFrame:
+                  timings: dict | None = None,
+                  fused_phase1: bool = True) -> DataFrame:
     """pages → final triples DataFrame (no I/O).
 
     ``materialize`` picks the inter-phase barrier.  Phases 2-3 each branch
@@ -77,10 +79,23 @@ def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
             timings[name] = round(time.time() - t0, 2)
         return df
 
-    if from_html:
-        pages = ingest.with_extracted_text(pages)
-    chunks = chunking.chunk_pages(pages, cfg.chunk_size, cfg.overlap)
-    out = cut(extraction.extract_raw_triples(chunks), "extract")
+    if fused_phase1:
+        # one Arrow pass: html→[t2s]→chunk→extract (text crosses the
+        # Python boundary once; parity with the modular chain is a test
+        # invariant)
+        out = cut(
+            extraction.extract_pipeline_fused(
+                pages, cfg.chunk_size, cfg.overlap,
+                from_html=from_html, t2s=cfg.t2s_enabled),
+            "extract",
+        )
+    else:
+        if from_html:
+            pages = ingest.with_extracted_text(pages)
+        if cfg.t2s_enabled:
+            pages = ingest.with_t2s(pages)
+        chunks = chunking.chunk_pages(pages, cfg.chunk_size, cfg.overlap)
+        out = cut(extraction.extract_raw_triples(chunks), "extract")
     if cfg.standardization_enabled:
         out = cut(standardize.standardize(
             out, max_broadcast_rows=cfg.broadcast_map_max_rows), "standardize")
@@ -91,6 +106,12 @@ def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
     else:
         out = out.withColumn("inferred", F.lit(False)) \
                  .select("url", "subject", "predicate", "object", "chunk", "seq", "inferred")
+    if cfg.community_inference_enabled:
+        # O-21/O-22 branch over the inferred graph several times (CC,
+        # degrees, pair gen) — barrier first
+        from kgspark.pipeline import community
+        out = cut(out, "infer_pre_community")
+        out = out.unionByName(community.community_inference(out))
     if cfg.lsh_linking_enabled:
         # barrier before the LSH self-join: linking scans its input many
         # times (signatures, bands, verify, CC) — see module docstring
@@ -135,6 +156,49 @@ def _completed_buckets(spark: SparkSession, manifest_path: str, stage: str) -> D
     )
 
 
+def _process_group(spark, pages, cfg, from_html, run_id, triples_path):
+    """One failure domain: build + write triples for a set of buckets,
+    return the manifest rows.  Raises on any job error — the caller
+    records the failure."""
+    t0 = time.time()
+    in_per_bucket = {
+        r["bucket"]: r["cnt"]
+        for r in pages.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    if not in_per_bucket:
+        return [], 0
+    triples = build_triples(pages, cfg, from_html=from_html)
+    # carry the bucket through for partitioned write + lineage
+    bucketed = triples.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int")
+    ).persist()
+    # dynamic partition overwrite: a bucket interrupted before its manifest
+    # row landed is rewritten (not duplicated) on resume — idempotence
+    (
+        bucketed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(triples_path)
+    )
+    per_bucket = (
+        bucketed.groupBy("bucket").agg(F.count("*").alias("rows_out")).collect()
+    )
+    bucketed.unpersist()
+    t1 = time.time()
+    manifest_rows = [
+        (run_id, "triples", int(r["bucket"]), int(in_per_bucket.get(r["bucket"], 0)),
+         int(r["rows_out"]), t0, t1, "success", None)
+        for r in per_bucket
+    ]
+    # buckets that had pages but produced zero triples still complete
+    seen = {int(r["bucket"]) for r in per_bucket}
+    for bkt, cnt in in_per_bucket.items():
+        if int(bkt) not in seen:
+            manifest_rows.append(
+                (run_id, "triples", int(bkt), int(cnt), 0, t0, t1, "success", None))
+    return manifest_rows, sum(int(r["rows_out"]) for r in per_bucket)
+
+
 def run_pipeline(
     spark: SparkSession,
     pages_path: str,
@@ -142,9 +206,18 @@ def run_pipeline(
     cfg: KgConfig | None = None,
     from_html: bool = True,
     force: bool = False,
+    bucket_groups: int = 1,
 ) -> dict:
     """Resumable batch job: process pending url-hash buckets, append
-    per-bucket triples + manifest rows, rebuild entities/edges tables."""
+    per-bucket triples + manifest rows, rebuild entities/edges tables.
+
+    ``bucket_groups`` > 1 splits the pending buckets into that many
+    failure domains processed sequentially: a group that throws appends
+    ``status='failed'`` manifest rows (with the error message) for its
+    buckets and the run continues — the reference's per-year error JSON
+    (policy_kg_batch_generator.py:152-164).  Failed buckets are NOT
+    marked complete, so the next run reprocesses exactly those.
+    """
     cfg = cfg or KgConfig()
     run_id = uuid.uuid4().hex[:12]
     triples_path = os.path.join(out_dir, "triples")
@@ -159,55 +232,55 @@ def run_pipeline(
     t0 = time.time()
     n_pages = pages.count()
     if n_pages == 0:
-        return {"run_id": run_id, "pages": 0, "triples": 0, "buckets": 0, "seconds": 0.0}
+        return {"run_id": run_id, "pages": 0, "triples": 0, "buckets": 0,
+                "failed_buckets": 0, "seconds": 0.0}
+    pages = pages.persist()
 
-    triples = build_triples(pages, cfg, from_html=from_html)
-    # carry the bucket through for partitioned write + lineage
-    bucketed = triples.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int")
-    ).persist()
-    # dynamic partition overwrite: a bucket interrupted before its manifest
-    # row landed is rewritten (not duplicated) on resume — idempotence
-    (
-        bucketed.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(triples_path)
-    )
-
-    per_bucket = (
-        bucketed.groupBy("bucket").agg(F.count("*").alias("rows_out")).collect()
-    )
+    manifest_rows: list = []
+    n_triples = 0
+    n_failed = 0
+    for g in range(bucket_groups):
+        group_pages = (
+            pages if bucket_groups == 1
+            else pages.filter(F.col("bucket") % bucket_groups == g)
+        )
+        try:
+            rows, triples_out = _process_group(
+                spark, group_pages, cfg, from_html, run_id, triples_path)
+            manifest_rows.extend(rows)
+            n_triples += triples_out
+        except Exception as exc:  # failure manifest, keep processing
+            tf = time.time()
+            err = f"{type(exc).__name__}: {exc}"[:500]
+            failed = [
+                int(r["bucket"]) for r in group_pages.select("bucket").distinct().collect()
+            ]
+            n_failed += len(failed)
+            manifest_rows.extend(
+                (run_id, "triples", b, 0, 0, t0, tf, "failed", err) for b in failed
+            )
     t1 = time.time()
-    in_per_bucket = {
-        r["bucket"]: r["cnt"]
-        for r in pages.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
-    }
-    manifest_rows = [
-        (run_id, "triples", int(r["bucket"]), int(in_per_bucket.get(r["bucket"], 0)),
-         int(r["rows_out"]), t0, t1, "success")
-        for r in per_bucket
-    ]
-    # buckets that had pages but produced zero triples still complete
-    seen = {int(r["bucket"]) for r in per_bucket}
-    for bkt, cnt in in_per_bucket.items():
-        if int(bkt) not in seen:
-            manifest_rows.append((run_id, "triples", int(bkt), int(cnt), 0, t0, t1, "success"))
-    spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode("append").parquet(
-        manifest_path
-    )
+    if manifest_rows:
+        spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode(
+            "append").parquet(manifest_path)
 
     # entities/edges rebuilt over the full triples table (cheap aggregations)
-    full = spark.read.parquet(triples_path)
-    entities_table(full).write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))
-    edges_table(full).write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
+    try:
+        full = spark.read.parquet(triples_path)
+        entities_table(full).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "entities"))
+        edges_table(full).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "edges"))
+    except Exception:
+        # every group failed before any triples landed — nothing to rebuild
+        pass
 
-    n_triples = sum(int(r["rows_out"]) for r in per_bucket)
-    bucketed.unpersist()
+    pages.unpersist()
     return {
         "run_id": run_id,
         "pages": n_pages,
         "triples": n_triples,
         "buckets": len(manifest_rows),
+        "failed_buckets": n_failed,
         "seconds": t1 - t0,
     }

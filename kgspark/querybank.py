@@ -361,6 +361,186 @@ SQL_KG_ENTITY_TRACKING = f"""
 """
 
 
+def q_kg_community_inference(spark, sf):
+    """O-21/O-22: deterministic community-inference stand-ins over the
+    event graph (reference entity_standardization.py:458-662 with the
+    LLM proposal replaced by the max-degree-representative /
+    shared-word-pair rules — SURVEY §2.5)."""
+    from kgspark.pipeline import community
+    trip = relational.event_triples(spark, sf)
+    out = community.community_inference(trip)
+    return out.select(
+        "url", "subject", "predicate", "object",
+        F.col("chunk").cast("long").alias("chunk"), "seq", "inferred",
+    )
+
+
+SQL_KG_COMMUNITY_INFERENCE = f"""
+    WITH RECURSIVE trip AS ({relational.EVENT_TRIPLES_SQL}),
+    und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+        SELECT subject AS a, object AS b FROM trip
+        UNION ALL SELECT object, subject FROM trip)),
+    reach(node, r) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.node),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+    top AS (SELECT component, sz,
+                   row_number() OVER (ORDER BY sz DESC, component) AS rank
+            FROM sizes),
+    members AS (SELECT c.node, c.component, t.sz, t.rank
+                FROM comp c JOIN top t ON c.component = t.component
+                WHERE t.rank <= 5),
+    deg AS (SELECT a AS node, count(*) AS degree FROM und GROUP BY a),
+    repranked AS (
+        SELECT m.component, m.rank, m.node,
+               row_number() OVER (PARTITION BY m.component
+                                  ORDER BY d.degree DESC, m.node) AS rn
+        FROM members m JOIN deg d ON m.node = d.node),
+    rep AS (SELECT rank, node AS r FROM repranked WHERE rn = 1),
+    between_t AS (
+        SELECT a.r AS subject, 'related to' AS predicate, b.r AS object
+        FROM rep a JOIN rep b ON a.rank < b.rank WHERE a.r <> b.r),
+    mem3 AS (SELECT * FROM members WHERE rank <= 3 AND sz >= 5),
+    words AS (
+        SELECT component, node, unnest(list_filter(
+            string_split_regex(lower(node), '\\s+'), w -> w <> '')) AS w
+        FROM mem3),
+    cand AS (
+        SELECT DISTINCT l.component AS c, l.node AS a, r.node AS b
+        FROM words l JOIN words r
+          ON l.component = r.component AND l.w = r.w AND l.node < r.node),
+    connected AS (
+        SELECT DISTINCT subject AS a, object AS b FROM trip
+        UNION SELECT object, subject FROM trip),
+    cand2 AS (
+        SELECT c, a, b FROM cand
+        WHERE NOT EXISTS (SELECT 1 FROM connected x
+                          WHERE x.a = cand.a AND x.b = cand.b)),
+    within_t AS (
+        SELECT a AS subject, 'associated with' AS predicate, b AS object
+        FROM (SELECT c, a, b,
+                     row_number() OVER (PARTITION BY c ORDER BY a, b) AS rn
+              FROM cand2)
+        WHERE rn <= 10),
+    all_t AS (SELECT * FROM between_t UNION ALL SELECT * FROM within_t)
+    SELECT 'kg://community' AS url, subject, predicate, object,
+           0::BIGINT AS chunk,
+           row_number() OVER (ORDER BY predicate, subject, object)::BIGINT AS seq,
+           true AS inferred
+    FROM all_t
+"""
+
+
+def q_kg_period_summary(spark, sf):
+    """A-14: cross-period summary — per-period triple/entity/predicate
+    counts plus share of the corpus total (reference
+    policy_kg_batch_generator.py:261-285 cross-year report)."""
+    trip = _event_period_triples(spark, sf)
+    per = trip.groupBy("period").agg(
+        F.count("*").cast("long").alias("triples"),
+        F.countDistinct("subject").cast("long").alias("subjects"),
+        F.countDistinct("object").cast("long").alias("objects"),
+        F.countDistinct("predicate").cast("long").alias("predicates"),
+    )
+    total = F.broadcast(per.agg(F.sum("triples").alias("_total")))
+    return (
+        per.crossJoin(total)
+        .withColumn("pct", F.round(F.col("triples") * 100.0 / F.col("_total"), 4))
+        .drop("_total")
+        .orderBy("period")
+    )
+
+
+SQL_KG_PERIOD_SUMMARY = f"""
+    WITH trip0 AS ({relational.EVENT_TRIPLES_SQL}),
+    trip AS (
+        SELECT trip0.*, strftime(e.ts, '%Y-%m-%d') AS period
+        FROM trip0 JOIN events e ON trip0.seq = e.event_id),
+    per AS (
+        SELECT period, count(*)::BIGINT AS triples,
+               count(DISTINCT subject)::BIGINT AS subjects,
+               count(DISTINCT object)::BIGINT AS objects,
+               count(DISTINCT predicate)::BIGINT AS predicates
+        FROM trip GROUP BY period)
+    SELECT period, triples, subjects, objects, predicates,
+           round(triples * 100.0 / (SELECT sum(triples) FROM per), 4) AS pct
+    FROM per
+"""
+
+
+def q_kg_period_graph_metrics(spark, sf):
+    """A-9 proper: per-period network metrics (nodes, edges, density,
+    avg clustering, #components) — reference
+    policy_comparative_analyzer.py:108-156 per-year loop, restated as a
+    single grouped job (group key rides the triangle/CC machinery)."""
+    out = analytics.period_graph_metrics(_event_period_triples(spark, sf), "period")
+    return out.select(
+        "period",
+        F.col("nodes").cast("long").alias("nodes"),
+        F.col("edges").cast("long").alias("edges"),
+        "density", "avg_clustering",
+        F.col("components").cast("long").alias("components"),
+    ).orderBy("period")
+
+
+SQL_KG_PERIOD_GRAPH_METRICS = f"""
+    WITH RECURSIVE trip0 AS ({relational.EVENT_TRIPLES_SQL}),
+    trip AS (
+        SELECT trip0.*, strftime(e.ts, '%Y-%m-%d') AS period
+        FROM trip0 JOIN events e ON trip0.seq = e.event_id),
+    e AS MATERIALIZED (
+        SELECT DISTINCT period, subject AS src, object AS dst
+        FROM trip WHERE subject <> object),
+    und AS MATERIALIZED (SELECT DISTINCT period, a, b FROM (
+        SELECT period, src AS a, dst AS b FROM e
+        UNION ALL SELECT period, dst, src FROM e)),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT period, least(a, b) AS a, greatest(a, b) AS b FROM und),
+    ncnt AS (SELECT period, count(DISTINCT a) AS nodes FROM und GROUP BY period),
+    ecnt AS (SELECT period, count(*) AS edges FROM pairs GROUP BY period),
+    tri AS (
+        SELECT e1.period, e1.a AS x, e1.b AS y, e2.b AS z
+        FROM pairs e1
+        JOIN pairs e2 ON e1.period = e2.period AND e1.b = e2.a
+        JOIN pairs e3 ON e3.period = e1.period AND e3.a = e1.a AND e3.b = e2.b),
+    corners AS (
+        SELECT period, x AS node FROM tri
+        UNION ALL SELECT period, y FROM tri
+        UNION ALL SELECT period, z FROM tri),
+    tcnt AS (SELECT period, node, count(*) AS triangles
+             FROM corners GROUP BY period, node),
+    deg AS (SELECT period, a AS node, count(*) AS degree FROM und GROUP BY period, a),
+    clus AS (
+        SELECT d.period,
+               avg(CASE WHEN d.degree >= 2
+                   THEN 2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))
+                   ELSE 0.0 END) AS avg_clustering
+        FROM deg d LEFT JOIN tcnt t ON d.period = t.period AND d.node = t.node
+        GROUP BY d.period),
+    reach(period, node, r) AS (
+        SELECT period, a, a FROM und
+        UNION
+        SELECT u.period, u.a, reach.r
+        FROM und u JOIN reach ON u.period = reach.period AND u.b = reach.node),
+    comp AS (SELECT period, node, min(r) AS component
+             FROM reach GROUP BY period, node),
+    ccnt AS (SELECT period, count(DISTINCT component) AS components
+             FROM comp GROUP BY period)
+    SELECT n.period, n.nodes::BIGINT AS nodes, ec.edges::BIGINT AS edges,
+           CASE WHEN n.nodes >= 2
+                THEN round(2.0 * ec.edges / (n.nodes * (n.nodes - 1)), 6)
+                ELSE 0.0 END AS density,
+           round(c.avg_clustering, 6) AS avg_clustering,
+           cc.components::BIGINT AS components
+    FROM ncnt n
+    JOIN ecnt ec ON n.period = ec.period
+    JOIN clus c ON n.period = c.period
+    JOIN ccnt cc ON n.period = cc.period
+"""
+
+
 # --------------------------------------------------------------------------
 # kg_* — phase 2/3 operator semantics (O-10..O-25) with exact SQL replays
 # --------------------------------------------------------------------------
@@ -1130,8 +1310,14 @@ def _emb_with_planted(spark, sf):
 
 
 def q_emb_dup_pairs(spark, sf):
-    return similarity.embedding_dup_pairs(
-        _emb_with_planted(spark, sf), "vec_id", "embedding", threshold=0.99
+    """Embedding near-dup pairs via the banded-LSH scale path (no
+    all-pairs join).  The oracle is the EXACT all-pairs SQL, so a green
+    row certifies the LSH path's total recall on this corpus — vectors at
+    cosine ≥0.99 are near-parallel and agree on almost every hyperplane
+    sign, and multiprobe absorbs residual bit flips."""
+    return similarity.embedding_dup_pairs_ann(
+        _emb_with_planted(spark, sf), "vec_id", "embedding", threshold=0.99,
+        dim=64,
     ).select(
         F.col("id1").cast("long").alias("id1"),
         F.col("id2").cast("long").alias("id2"), "sim",
@@ -1153,8 +1339,9 @@ SQL_EMB_DUP_PAIRS = """
 
 
 def q_emb_ann_topk(spark, sf):
-    """Hyperplane-LSH ANN (rows-only driver check; recall vs brute force
-    asserted in pytest)."""
+    """Hyperplane-LSH ANN with multiprobe; the DuckDB oracle replays the
+    md5-derived planes, signatures, band/probe keys, and re-rank exactly
+    (recall vs brute force separately asserted ≥0.9 in pytest)."""
     e = relational.load(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     return similarity.ann_topk(
@@ -1164,6 +1351,61 @@ def q_emb_ann_topk(spark, sf):
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         "sim", F.col("rank").cast("long").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+def _ann_topk_sql(dim: int = 64, n_planes: int = 24, band_bits: int = 4,
+                  k: int = 5) -> str:
+    """Replay of similarity.ann_topk: md5-derived hyperplanes → sign-bit
+    signature → band keys (query side probes hamming-1 flips) → exact
+    cosine re-rank."""
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    probes = ", ".join(str(1 << i) for i in range(band_bits))
+    return f"""
+    WITH planes AS MATERIALIZED (
+        SELECT p, list(val ORDER BY d) AS pv FROM (
+            SELECT pp.p, dd.d,
+                   (('0x' || substr(md5('plane:' || pp.p || ':' || dd.d), 1, 8))::BIGINT
+                    / 4294967295.0) * 2.0 - 1.0 AS val
+            FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) pp,
+                 (SELECT unnest(generate_series(0, {dim - 1})) AS d) dd)
+        GROUP BY p),
+    vecs AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS MATERIALIZED (
+        SELECT e.vec_id,
+               sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                   THEN (1::BIGINT << pl.p) ELSE 0 END) AS sig
+        FROM vecs e, planes pl GROUP BY e.vec_id),
+    nbands AS MATERIALIZED (
+        SELECT s.vec_id, b.band,
+               ((s.sig >> (b.band * {band_bits})) & {mask})::INTEGER AS key
+        FROM sigs s, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) b),
+    qbands AS MATERIALIZED (
+        SELECT nb.vec_id, nb.band, unnest(
+            [nb.key] || list_transform([{probes}], f -> xor(nb.key::BIGINT, f)::INTEGER)
+        ) AS key
+        FROM nbands nb WHERE nb.vec_id < 8),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        FROM qbands q JOIN nbands n ON q.band = n.band AND q.key = n.key
+        WHERE q.vec_id <> n.vec_id),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               round(list_cosine_similarity(qv.v, nv.v), 4) AS sim
+        FROM cand c
+        JOIN vecs qv ON qv.vec_id = c.query_id
+        JOIN vecs nv ON nv.vec_id = c.neighbor_id)
+    SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+           sim, rank::BIGINT AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+"""
+
+
+SQL_EMB_ANN_TOPK = _ann_topk_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1183,11 +1425,18 @@ def q_mm_decode_meta(spark, sf):
 
 
 SQL_MM_DECODE_META = """
-    WITH b AS (
+    WITH raw AS (
         SELECT doc_id, octet_length(encode(text)) AS n,
-            (SELECT sum(ord(substr(text, i, 1)))
-             FROM unnest(generate_series(1, length(text))) AS t(i)) AS bytesum
-        FROM documents)
+               hex(encode(text)) AS h
+        FROM documents),
+    b AS (
+        -- bytesum over the UTF-8 bytes (via hex pairs), matching the
+        -- Spark kernel's sum over the raw payload — correct for
+        -- non-ASCII text, unlike a sum of codepoints
+        SELECT doc_id, n,
+               list_sum(list_transform(generate_series(1, n),
+                   i -> ('0x' || substr(h, 2 * i - 1, 2))::INTEGER)) AS bytesum
+        FROM raw)
     SELECT doc_id::BIGINT AS doc_id, n::BIGINT AS n_bytes,
            (64 + n % 577)::BIGINT AS width,
            (64 + (n * 31) % 419)::BIGINT AS height,
@@ -1351,6 +1600,9 @@ QUERIES: dict[str, tuple] = {
     "kg_keyword_filter": (q_kg_keyword_filter, SQL_KG_KEYWORD_FILTER),
     "kg_discourse_shift": (q_kg_discourse_shift, SQL_KG_DISCOURSE_SHIFT),
     "kg_entity_tracking": (q_kg_entity_tracking, SQL_KG_ENTITY_TRACKING),
+    "kg_period_graph_metrics": (q_kg_period_graph_metrics, SQL_KG_PERIOD_GRAPH_METRICS),
+    "kg_period_summary": (q_kg_period_summary, SQL_KG_PERIOD_SUMMARY),
+    "kg_community_inference": (q_kg_community_inference, SQL_KG_COMMUNITY_INFERENCE),
     "kg_standardize_map": (q_kg_standardize_map, SQL_KG_STANDARDIZE_MAP),
     "kg_standardized_triples": (q_kg_standardized_triples, SQL_KG_STANDARDIZED_TRIPLES),
     "kg_transitive_inference": (q_kg_transitive_inference, SQL_KG_TRANSITIVE),
@@ -1371,7 +1623,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "emb_topk": (q_emb_topk, SQL_EMB_TOPK),
     "emb_dup_pairs": (q_emb_dup_pairs, SQL_EMB_DUP_PAIRS),
-    "emb_ann_topk": (q_emb_ann_topk, None),
+    "emb_ann_topk": (q_emb_ann_topk, SQL_EMB_ANN_TOPK),
     "mm_decode_meta": (q_mm_decode_meta, SQL_MM_DECODE_META),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
     "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),

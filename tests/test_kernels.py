@@ -132,3 +132,36 @@ class TestTripleExtract:
             for chunk in chunk_text(make_doc(rng, "mixed")):
                 for t in extract_triples(chunk):
                     assert len(t["predicate"].split()) <= 3
+
+
+class TestT2S:
+    """S-6: Traditional-script input must extract the same triples as its
+    Simplified twin once t2s_enabled is on (reference
+    data_processor.py:47-62 OpenCC pass, inlined for the lexicon scope)."""
+
+    def test_t2s_convert_chars(self):
+        from kgspark.kernels.textproc import t2s_convert
+        assert t2s_convert("推動經濟發展") == "推动经济发展"
+        assert t2s_convert("香港屬於中國。") == "香港属于中国。"
+        assert t2s_convert("") == ""
+        assert t2s_convert("already simplified 推动") == "already simplified 推动"
+
+    def test_traditional_pipeline_equals_simplified(self, spark):
+        from kgspark.config import KgConfig
+        from kgspark.pipeline import ingest
+        from kgspark.pipeline.runner import build_triples
+
+        trad = "香港政府提出新政策。政府推動經濟發展。香港屬於中國。"
+        simp = "香港政府提出新政策。政府推动经济发展。香港属于中国。"
+
+        def pages(text):
+            return spark.createDataFrame(
+                [("u", None, None, text, "zh")], schema=ingest.PAGES_SCHEMA)
+
+        a = build_triples(pages(trad), KgConfig(t2s_enabled=True),
+                          from_html=False, materialize=False)
+        b = build_triples(pages(simp), KgConfig(),
+                          from_html=False, materialize=False)
+        sa = {(r.subject, r.predicate, r.object) for r in a.collect()}
+        sb = {(r.subject, r.predicate, r.object) for r in b.collect()}
+        assert sa == sb and sa, "traditional text must yield the simplified triples"

@@ -136,13 +136,37 @@ def test_ann_recall_vs_brute_force(spark):
                               k=5, n_planes=24, band_bits=4)
     b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
     a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
-    # bucketed ANN trades recall for pruning; demand a sane floor and
-    # that every ANN result is a real corpus member scored identically
-    assert len(a & b) / len(b) >= 0.3
+    # multiprobe (hamming-1 band flips on the query side) lifts recall
+    # to a production-usable floor; every ANN hit scores identically
+    assert len(a & b) / len(b) >= 0.9
     sims_b = {(r.query_id, r.neighbor_id): r.sim for r in brute.collect()}
     for r in ann.collect():
         if (r.query_id, r.neighbor_id) in sims_b:
             assert sims_b[(r.query_id, r.neighbor_id)] == r.sim
+
+
+def test_emb_dup_pairs_ann_total_recall_on_fixture(spark):
+    """The banded near-dup path must find every exact pair at 0.99 on a
+    planted corpus (near-parallel vectors ≅ identical signatures)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"),
+                    lambda x: (x.cast("double") * 0.5).cast("float")).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    exact = {
+        (r.id1, r.id2)
+        for r in similarity.embedding_dup_pairs(
+            corpus, "vec_id", "embedding", threshold=0.99).collect()
+    }
+    ann = {
+        (r.id1, r.id2)
+        for r in similarity.embedding_dup_pairs_ann(
+            corpus, "vec_id", "embedding", threshold=0.99, dim=64).collect()
+    }
+    assert exact, "fixture must plant near-dup pairs"
+    assert ann == exact
 
 
 def test_multimodal_decode_contract(spark):

@@ -150,3 +150,25 @@ def test_end_to_end_triple_precision_recall(spark, capsys):
           f"(spark={len(got)} oracle={len(want)})")
     assert precision >= 0.95 and recall >= 0.95
     assert got == want  # engine target is exact parity, not just 0.95
+
+
+def test_fused_phase1_equals_modular(spark):
+    """The single-Arrow-pass phase 1 must emit exactly the modular
+    chain's rows (same kernels, one Python boundary crossing)."""
+    from kgspark import datagen
+    from kgspark.config import KgConfig
+    from kgspark.pipeline import ingest
+    from kgspark.pipeline.runner import build_triples
+
+    rows = datagen.generate_rows(80, seed=11)
+    pages = spark.createDataFrame(rows, ingest.PAGES_SCHEMA).repartition(4)
+    cfg = KgConfig()
+    fused = build_triples(pages, cfg, from_html=True, materialize=False,
+                          fused_phase1=True)
+    modular = build_triples(pages, cfg, from_html=True, materialize=False,
+                            fused_phase1=False)
+    from collections import Counter
+    cols = sorted(fused.columns)
+    a = Counter(map(tuple, fused.select(*cols).collect()))
+    b = Counter(map(tuple, modular.select(*cols).collect()))
+    assert a == b and a

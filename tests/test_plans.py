@@ -145,6 +145,20 @@ def test_jaccard_join_is_equi_not_cross(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_emb_dup_pairs_ann_no_nested_loop(spark):
+    """The exposed embedding near-dup path must be a banded equi-join —
+    no all-pairs BroadcastNestedLoopJoin/CartesianProduct (VERDICT r01
+    item 3)."""
+    from kgspark.ops import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = similarity.embedding_dup_pairs_ann(
+        emb, "vec_id", "embedding", threshold=0.99, dim=64)
+    plan = plan_of(pairs)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_topk_broadcasts_query_side(spark):
     from kgspark.ops import similarity
 

@@ -75,6 +75,57 @@ def test_force_reruns_everything(spark, tmp_path, pages_path):
     assert r["pages"] == 60
 
 
+def test_failed_group_leaves_failure_manifest_and_resumes(
+    spark, tmp_path, pages_path, monkeypatch
+):
+    """S-12: a bucket group that throws must append status='failed'
+    manifest rows carrying the error, the other groups must still land,
+    and the next run must reprocess exactly the failed buckets."""
+    from kgspark.pipeline import runner
+
+    out = str(tmp_path / "out")
+    real_build = runner.build_triples
+    poisoned_groups = []
+
+    def poisoned(pages, cfg, **kw):
+        # group parity of any bucket in this group (groups split on %2)
+        buckets = {r.bucket % 2 for r in pages.select("bucket").distinct().collect()}
+        if buckets == {1}:
+            poisoned_groups.append(1)
+            raise RuntimeError("injected extraction failure")
+        return real_build(pages, cfg, **kw)
+
+    monkeypatch.setattr(runner, "build_triples", poisoned)
+    r1 = run_pipeline(spark, pages_path, out, CFG, bucket_groups=2)
+    assert poisoned_groups and r1["failed_buckets"] > 0
+
+    m = spark.read.parquet(os.path.join(out, "manifests"))
+    failed = m.filter(F.col("status") == "failed")
+    assert failed.count() == r1["failed_buckets"]
+    assert failed.filter(
+        F.col("error").contains("injected extraction failure")).count() == failed.count()
+    ok_buckets = {r.bucket for r in m.filter(F.col("status") == "success").collect()}
+    failed_buckets = {r.bucket for r in failed.collect()}
+    assert ok_buckets and failed_buckets and not (ok_buckets & failed_buckets)
+
+    # resume without the poison: exactly the failed buckets reprocess
+    monkeypatch.setattr(runner, "build_triples", real_build)
+    r2 = run_pipeline(spark, pages_path, out, CFG, bucket_groups=2)
+    assert r2["failed_buckets"] == 0 and r2["pages"] > 0
+    m2 = spark.read.parquet(os.path.join(out, "manifests"))
+    reprocessed = {
+        r.bucket for r in m2.filter(
+            (F.col("run_id") == r2["run_id"]) & (F.col("status") == "success")
+        ).collect()
+    }
+    assert reprocessed == failed_buckets
+
+    # final table equals an uninterrupted run's
+    clean = str(tmp_path / "clean")
+    run_pipeline(spark, pages_path, clean, CFG)
+    assert _spo_set(_read_triples(spark, out)) == _spo_set(_read_triples(spark, clean))
+
+
 def test_entities_edges_tables(spark, tmp_path, pages_path):
     out = str(tmp_path / "out")
     run_pipeline(spark, pages_path, out, CFG)

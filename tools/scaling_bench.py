@@ -26,46 +26,14 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-RUNNER = r"""
-import json, os, sys, time
-sys.path.insert(0, {repo!r})
-from kgspark.session import get_session
-from kgspark.config import KgConfig
-from kgspark.pipeline.runner import build_triples
-from kgspark.pipeline import ingest
-
-cpus = int(sys.argv[1]); path = sys.argv[2]
-mat = os.environ.get("KGSPARK_MAT", "localCheckpoint")
-shuffle = int(os.environ.get("KGSPARK_SHUFFLE_PARTITIONS", "0")) or cpus
-spark = get_session(master=f"local[{{cpus}}]", shuffle_partitions=shuffle,
-                    driver_memory="16g",
-                    extra_conf={{"spark.local.dir": "/dev/shm/spark-local"}})
-pages = ingest.read_pages(spark, path)
-# warmup: JVM JIT + whole-stage-codegen compile of the phase plans +
-# python worker pool — one-time costs a long-lived cluster amortizes
-# (measured ~10s cold vs ~5s warm for the same tiny job)
-build_triples(pages.limit(60).repartition(cpus), KgConfig(), from_html=True).count()
-t0 = time.time()
-pages = pages.repartition(cpus)
-timings = {{}}
-triples = build_triples(pages, KgConfig(), from_html=True,
-                        materialize=mat, timings=timings)
-tc = time.time()
-n = triples.count()
-timings["infer+count"] = round(time.time() - tc, 2)
-dt = time.time() - t0
-print(json.dumps({{"cpus": cpus, "seconds": round(dt, 2), "triples": n,
-                   "mat": mat, "shuffle_partitions": shuffle,
-                   "phases": timings}}))
-spark.stop()
-"""
+RUNNER_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "scale_run.py")
 
 
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
     n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     workdir = tempfile.mkdtemp(prefix="kgspark_scale_")
     pages_path = os.path.join(workdir, "pages")
 
@@ -77,14 +45,13 @@ def main():
     datagen.write_pages(spark, pages_path, n_pages, seed=42, partitions=64)
     spark.stop()
 
-    script = RUNNER.format(repo=repo)
     results = {}
     trials = int(os.environ.get("KGSPARK_SCALE_TRIALS", "2"))
     for cpus in (n_lo, n_hi):
         best = None
         for _ in range(trials):
             out = subprocess.run(
-                [sys.executable, "-c", script, str(cpus), pages_path],
+                [sys.executable, RUNNER_PATH, str(cpus), pages_path],
                 capture_output=True, text=True, timeout=3600,
             )
             line = [ln for ln in out.stdout.strip().splitlines()
