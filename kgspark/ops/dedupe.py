@@ -65,18 +65,34 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_pairs_exact(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.7
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.7,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via shingle-explode equi-join.
 
     Returns (id1, id2, jaccard) with id1 < id2, jaccard rounded to 6dp.
     Scale shape: |pairs| ≤ Σ_shingle freq², never |docs|² — pushdown-safe.
+
+    ``max_shingle_freq`` caps the hot-shingle blowup at corpus scale: a
+    shingle occurring in more than that many docs is dropped from PAIR
+    GENERATION (boilerplate n-grams produce freq² candidate pairs while
+    carrying no dedup signal).  The intersection count then comes only
+    from surviving shingles, so pairs whose overlap is pure boilerplate
+    can be missed — exact results need ``None`` (the default); at 100 TB
+    use MinHash-LSH (`lsh_dup_pairs`) as the primary path.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.size(word_ngrams(F.col(text_col), n)).alias("n_sh"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
     )
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("_f"))
+            .filter(F.col("_f") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"), "shingle")
     b = sh.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"), "shingle")
     inter = (

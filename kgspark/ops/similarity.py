@@ -208,3 +208,67 @@ def embedding_dup_pairs_ann(
         .filter(F.col("sim") >= threshold)
         .select("id1", "id2", "sim")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    k: int = 10, n_centroids: int = 16, n_probe: int = 4, round_dp: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus is inverted-list-bucketed by its
+    nearest centroid; each query probes only its ``n_probe`` closest
+    centroids' lists and exact-reranks within them.
+
+    Centroids are the ``n_centroids`` corpus rows with the smallest ids —
+    a deterministic data-sampled seeding (k-means would improve list
+    balance but costs an iterative job and a seed; determinism is a
+    correctness-gate requirement here, and the oracle replays this rule
+    exactly).  Scale shape: one corpus shuffle on centroid id, query
+    fan-out = n_probe lists instead of the full scan; the centroid table
+    is collected to the driver (n_centroids × dim floats — trivially
+    small) and inlined as literals so assignment is a narrow JVM pass.
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid_src"), _as_double(F.col(vec_col)).alias("cv"))
+        .orderBy("cid_src")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [(i, list(r.cv)) for i, r in enumerate(cent_rows)]
+
+    def assign(vec: Column, top: int) -> Column:
+        """Array of the `top` centroid ids by descending cosine (ties:
+        smaller centroid id)."""
+        scored = F.array(*[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("sim"),
+                F.lit(-i).alias("negi"),
+            )
+            for i, cv in cents
+        ])
+        ordered = F.reverse(F.array_sort(scored))
+        return F.transform(F.slice(ordered, 1, top), lambda s: -s["negi"])
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_v"),
+    ).withColumn("cid", assign(F.col("n_v"), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_v"),
+    ).withColumn("cid", F.explode(assign(F.col("q_v"), n_probe)))
+    cand = (
+        q.join(c, "cid")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "q_v", "n_id", "n_v")
+        .distinct()
+    )
+    scored = cand.withColumn("sim", F.round(cosine(F.col("q_v"), F.col("n_v")), round_dp))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            "sim",
+            F.col("rank"),
+        )
+    )

@@ -1408,6 +1408,60 @@ def _ann_topk_sql(dim: int = 64, n_planes: int = 24, band_bits: int = 4,
 SQL_EMB_ANN_TOPK = _ann_topk_sql()
 
 
+def q_emb_ivf_topk(spark, sf):
+    """IVF-flat ANN: corpus bucketed by nearest of 16 deterministic
+    data-sampled centroids, queries probe their 4 closest lists, exact
+    rerank — the inverted-list scale path beside the hyperplane-LSH one.
+    DuckDB replays centroid seeding, assignment and probing exactly."""
+    e = relational.load(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(
+        e, queries, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "sim", F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+SQL_EMB_IVF_TOPK = """
+    WITH vecs AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 16)),
+    scored_assign AS MATERIALIZED (
+        SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS sim
+        FROM vecs e, cents c),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+            FROM scored_assign) WHERE rn = 1),
+    qprobe AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+            FROM scored_assign WHERE vec_id < 8) WHERE rn <= 4),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        FROM qprobe q JOIN assign n ON q.cid = n.cid
+        WHERE q.vec_id <> n.vec_id),
+    reranked AS (
+        SELECT c.query_id, c.neighbor_id,
+               round(list_cosine_similarity(qv.v, nv.v), 4) AS sim
+        FROM cand c
+        JOIN vecs qv ON qv.vec_id = c.query_id
+        JOIN vecs nv ON nv.vec_id = c.neighbor_id)
+    SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+           sim, rank::BIGINT AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM reranked)
+    WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # mm_* — multimodal binary-payload plumbing
 # --------------------------------------------------------------------------
@@ -1531,7 +1585,10 @@ def _synth_pages(spark, sf):
 
 
 def q_pipe_extract_parity(spark, sf):
-    """Per-row invariant: kernel(html) byte-identical to shipped text."""
+    """Per-row invariant: kernel(html) byte-identical to shipped text.
+    NO ORACLE (rows-only) by necessity: the check runs the Python
+    extraction kernel itself — DuckDB cannot execute it, and any SQL
+    restatement would be a second implementation, not an oracle."""
     from kgspark.pipeline.ingest import extract_text_udf
     pages = _synth_pages(spark, sf)
     return pages.agg(
@@ -1543,7 +1600,10 @@ def q_pipe_extract_parity(spark, sf):
 
 def q_pipe_extract_triples(spark, sf):
     """html → extract_text → chunk → pattern-extraction; per-predicate
-    counts of the raw triples (deterministic across parallelism)."""
+    counts of the raw triples (deterministic across parallelism).
+    NO ORACLE (rows-only): output is produced by the Python kernels
+    (HTML walk + chunker + pattern extractor) which SQL cannot replay;
+    kernel correctness is pytest-verified (test_kernels, P/R e2e)."""
     from kgspark.pipeline import chunking, extraction, ingest
     pages = ingest.with_extracted_text(_synth_pages(spark, sf))
     chunks = chunking.chunk_pages(pages, 100, 20)
@@ -1555,7 +1615,10 @@ def q_pipe_extract_triples(spark, sf):
 
 
 def q_pipe_kg_e2e(spark, sf):
-    """Full pipeline (phases 1-3) over synthetic pages → corpus stats."""
+    """Full pipeline (phases 1-3) over synthetic pages → corpus stats.
+    NO ORACLE (rows-only): phase 1 is Python-kernel-produced (see
+    pipe_extract_triples); phases 2-3 ARE SQL-replayed — the
+    kg_standardize*/kg_*infer* oracles cover them exactly."""
     from kgspark.config import KgConfig
     from kgspark.pipeline.runner import build_triples
     triples = build_triples(_synth_pages(spark, sf), KgConfig(), from_html=True)
@@ -1569,7 +1632,11 @@ def q_pipe_kg_e2e(spark, sf):
 
 def q_pipe_linking(spark, sf):
     """Corpus-scale MinHash-LSH entity linking over extracted entities
-    (candidate gen + exact verify + connected components)."""
+    (candidate gen + exact verify + connected components).
+    NO ORACLE (rows-only): input is kernel-produced (see pipe_kg_e2e)
+    and CC is iterative; the LSH recall property and CC correctness are
+    pytest-verified (test_ops LSH recall, kg_connected_components
+    oracle covers the CC machinery)."""
     from kgspark.config import KgConfig
     from kgspark.pipeline.runner import build_triples
     cfg = KgConfig()
@@ -1624,6 +1691,7 @@ QUERIES: dict[str, tuple] = {
     "emb_topk": (q_emb_topk, SQL_EMB_TOPK),
     "emb_dup_pairs": (q_emb_dup_pairs, SQL_EMB_DUP_PAIRS),
     "emb_ann_topk": (q_emb_ann_topk, SQL_EMB_ANN_TOPK),
+    "emb_ivf_topk": (q_emb_ivf_topk, SQL_EMB_IVF_TOPK),
     "mm_decode_meta": (q_mm_decode_meta, SQL_MM_DECODE_META),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
     "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),

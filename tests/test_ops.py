@@ -58,6 +58,28 @@ def test_short_docs_do_not_crash_shingling(spark):
     assert {(r.id1, r.id2) for r in lsh} == {(5, 6)}
 
 
+def test_hot_shingle_cap(spark):
+    """max_shingle_freq drops boilerplate shingles from pair generation
+    (freq² candidate blowup) while true dup pairs survive via their
+    distinctive shingles."""
+    base = "common header words here "
+    d = spark.createDataFrame(
+        [(1, base + "alpha beta gamma delta epsilon"),
+         (2, base + "alpha beta gamma delta epsilon"),
+         (3, base + "zeta eta theta iota kappa"),
+         (4, base + "totally different tail content words")],
+        "doc_id long, text string",
+    )
+    full = {(r.id1, r.id2): r.jaccard
+            for r in dedupe.jaccard_pairs_exact(d, "doc_id", "text", 3, 0.5).collect()}
+    capped = {(r.id1, r.id2): r.jaccard
+              for r in dedupe.jaccard_pairs_exact(
+                  d, "doc_id", "text", 3, 0.5, max_shingle_freq=3).collect()}
+    assert set(full) == {(1, 2)} == set(capped)
+    assert full[(1, 2)] == 1.0
+    assert 0.5 <= capped[(1, 2)] < 1.0  # intersection lost the boilerplate
+
+
 def test_minhash_md5_xxhash_consistent_shape(spark, docs):
     sig = dedupe.minhash_signature(docs, "doc_id", "text", n=3, k=4, hash_fn="md5")
     row = sig.limit(1).collect()[0]
@@ -192,3 +214,20 @@ def test_decode_real_raises_without_pil(spark):
         pass
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(payloads)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF-flat with 16 sampled centroids / 4 probes must recover most
+    true neighbors and score hits identically to brute force."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.topk_neighbors(emb, queries, "vec_id", "embedding", k=5)
+    ivf = similarity.ivf_topk(emb, queries, "vec_id", "embedding",
+                              k=5, n_centroids=16, n_probe=4)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    assert len(a & b) / len(b) >= 0.5  # 4/16 of the space probed
+    sims_b = {(r.query_id, r.neighbor_id): r.sim for r in brute.collect()}
+    for r in ivf.collect():
+        if (r.query_id, r.neighbor_id) in sims_b:
+            assert sims_b[(r.query_id, r.neighbor_id)] == r.sim

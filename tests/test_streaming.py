@@ -79,3 +79,61 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     assert got[("2024-01-01 00:10:00", "click")] == 1
     assert got[("2024-01-01 00:10:00", "view")] == 1
     assert got[("2024-01-01 00:20:00", "view")] == 1
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions across
+    micro-batches + event-time-timeout flush must equal the batch
+    sessionize output (ops.events twin)."""
+    import os as _os
+
+    from kgspark.ops.events import sessionize
+    from kgspark.streaming.sessions import sessionize_stream
+
+    src = str(tmp_path / "ev")
+    _os.makedirs(src)
+    schema = "user_id long, event_id long, ts timestamp"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "user_id long, event_id long, ts string") \
+            .select("user_id", "event_id", F.to_timestamp("ts").alias("ts")) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: user1 session A, user2 first singleton
+    write_file("f1", [(1, 1, "2024-01-01 00:00:00"), (1, 2, "2024-01-01 00:10:00"),
+                      (1, 3, "2024-01-01 00:20:00"), (2, 4, "2024-01-01 00:05:00")])
+    # batch 2: user1 session B (gap > 30min closes A), user2 second singleton
+    write_file("f2", [(1, 5, "2024-01-01 02:00:00"), (1, 6, "2024-01-01 02:05:00"),
+                      (2, 7, "2024-01-01 01:00:00")])
+    # batch 3: far-future sentinel advances the watermark
+    write_file("f3", [(999, 8, "2024-01-01 10:00:00")])
+
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (sessionize_stream(stream, gap_minutes=30)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_once()
+    # second run: new file makes one more batch whose START watermark is
+    # the sentinel's event time -> open-session timeouts fire and flush
+    write_file("f4", [(998, 9, "2024-01-01 11:00:00")])
+    run_once()
+
+    got = {
+        (r.user_id, str(r.started_at), str(r.ended_at), r.n_events)
+        for r in spark.read.parquet(out).filter(F.col("user_id") < 900).collect()
+    }
+    batch = spark.read.parquet(src).filter(F.col("user_id") < 900)
+    want = {
+        (r.user_id, str(r.started_at), str(r.ended_at), r.n_events)
+        for r in sessionize(batch, gap_minutes=30)
+        .select("user_id", "started_at", "ended_at", "n_events").collect()
+    }
+    assert want and got == want
