@@ -97,8 +97,18 @@ def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
         chunks = chunking.chunk_pages(pages, cfg.chunk_size, cfg.overlap)
         out = cut(extraction.extract_raw_triples(chunks), "extract")
     if cfg.standardization_enabled:
+        # cheap broadcast proxy: the entity map has at most 2 rows per
+        # triple, so when 2×|triples| is already under the cutoff the
+        # map-sizing count (a full extra map materialization) is skipped
+        # and broadcast forced.  Only when the proxy is inconclusive does
+        # apply_entity_map persist+count the real map.  The count below
+        # scans the just-materialized barrier — no recompute.
+        bmap = None
+        if strategy != "none" and 2 * out.count() <= cfg.broadcast_map_max_rows:
+            bmap = True
         out = cut(standardize.standardize(
-            out, max_broadcast_rows=cfg.broadcast_map_max_rows), "standardize")
+            out, broadcast_map=bmap,
+            max_broadcast_rows=cfg.broadcast_map_max_rows), "standardize")
     else:
         out = out.withColumn("chunk", F.coalesce("chunk", F.lit(0)).cast("int"))
     if cfg.inference_enabled:
