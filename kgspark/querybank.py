@@ -22,7 +22,7 @@ both engines; counts cast to BIGINT; floats rounded before ranking.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kgspark.ops import dedupe, events as ev_ops, multimodal, similarity, textstats
 from kgspark.pipeline import analytics, inference, linking, relational, standardize
@@ -433,6 +433,51 @@ SQL_KG_COMMUNITY_INFERENCE = f"""
 """
 
 
+def q_kg_period_top_central(spark, sf):
+    """A-9 companion: per-period top-5 entities by normalized degree
+    centrality (reference policy_comparative_analyzer.py:139-151 computes
+    per-year top-10 centrality; same shape, grouped in one job)."""
+    trip = _event_period_triples(spark, sf)
+    und = trip.select("period", F.col("subject").alias("a"), F.col("object").alias("b")) \
+        .union(trip.select("period", F.col("object").alias("a"),
+                           F.col("subject").alias("b"))).distinct()
+    deg = und.groupBy("period", F.col("a").alias("entity")).agg(
+        F.count("*").alias("degree"))
+    n = deg.groupBy("period").agg(
+        F.greatest(F.count("*") - 1, F.lit(1)).alias("_nm1"))
+    w = Window.partitionBy("period").orderBy(F.desc("degree"), "entity")
+    return (
+        deg.join(F.broadcast(n), "period")
+        .withColumn("centrality", F.round(F.col("degree") / F.col("_nm1"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("period", "entity", F.col("degree").cast("long").alias("degree"),
+                "centrality", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+SQL_KG_PERIOD_TOP_CENTRAL = f"""
+    WITH trip0 AS ({relational.EVENT_TRIPLES_SQL}),
+    trip AS (
+        SELECT trip0.*, strftime(e.ts, '%Y-%m-%d') AS period
+        FROM trip0 JOIN events e ON trip0.seq = e.event_id),
+    und AS (SELECT DISTINCT period, a, b FROM (
+        SELECT period, subject AS a, object AS b FROM trip
+        UNION ALL SELECT period, object, subject FROM trip)),
+    deg AS (SELECT period, a AS entity, count(*) AS degree
+            FROM und GROUP BY period, a),
+    n AS (SELECT period, greatest(count(*) - 1, 1) AS nm1
+          FROM deg GROUP BY period)
+    SELECT period, entity, degree::BIGINT AS degree,
+           round(degree * 1.0 / nm1, 6) AS centrality, rank::BIGINT AS rank
+    FROM (SELECT d.period, d.entity, d.degree, n.nm1,
+                 row_number() OVER (PARTITION BY d.period
+                                    ORDER BY d.degree DESC, d.entity) AS rank
+          FROM deg d JOIN n ON d.period = n.period)
+    WHERE rank <= 5
+"""
+
+
 def q_kg_period_summary(spark, sf):
     """A-14: cross-period summary — per-period triple/entity/predicate
     counts plus share of the corpus total (reference
@@ -816,6 +861,17 @@ SQL_KG_CC = f"""
         SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.node)
     SELECT node, min(r) AS component FROM reach GROUP BY node
 """
+
+
+def q_kg_cc_star(spark, sf):
+    """O-20 scale variant: large-star/small-star contraction CC
+    (O(log n) rounds vs min-label's O(diameter)) — same component
+    assignment, same recursive-CTE oracle as kg_connected_components."""
+    from kgspark.pipeline.graph import connected_components_star
+    edges = relational.geo_graph_triples(spark, sf).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    return connected_components_star(edges).select("node", "component")
 
 
 def q_kg_infer_full(spark, sf):
@@ -1669,6 +1725,7 @@ QUERIES: dict[str, tuple] = {
     "kg_entity_tracking": (q_kg_entity_tracking, SQL_KG_ENTITY_TRACKING),
     "kg_period_graph_metrics": (q_kg_period_graph_metrics, SQL_KG_PERIOD_GRAPH_METRICS),
     "kg_period_summary": (q_kg_period_summary, SQL_KG_PERIOD_SUMMARY),
+    "kg_period_top_central": (q_kg_period_top_central, SQL_KG_PERIOD_TOP_CENTRAL),
     "kg_community_inference": (q_kg_community_inference, SQL_KG_COMMUNITY_INFERENCE),
     "kg_standardize_map": (q_kg_standardize_map, SQL_KG_STANDARDIZE_MAP),
     "kg_standardized_triples": (q_kg_standardized_triples, SQL_KG_STANDARDIZED_TRIPLES),
@@ -1676,6 +1733,7 @@ QUERIES: dict[str, tuple] = {
     "kg_lexical_inference": (q_kg_lexical_inference, SQL_KG_LEXICAL),
     "kg_dedup_triples": (q_kg_dedup_triples, SQL_KG_DEDUP),
     "kg_connected_components": (q_kg_connected_components, SQL_KG_CC),
+    "kg_cc_star": (q_kg_cc_star, SQL_KG_CC),
     "kg_infer_full": (q_kg_infer_full, SQL_KG_INFER_FULL),
     "doc_chunk_oversize": (q_doc_chunk_oversize, SQL_DOC_CHUNK_OVERSIZE),
     "doc_chunk_overlap": (q_doc_chunk_overlap, SQL_DOC_CHUNK_OVERLAP),

@@ -117,3 +117,32 @@ def test_label_propagation_splits_bridged_cliques(spark):
 
     again = {r.node: r.label for r in label_propagation(df, max_iter=5).collect()}
     assert lab == again
+
+
+def test_star_cc_equals_minlabel_cc(spark):
+    """Large-star/small-star CC must produce exactly the min-label
+    component assignment on chains (worst case for label propagation),
+    cliques, and a random graph."""
+    import random
+
+    from kgspark.pipeline.graph import connected_components, connected_components_star
+
+    rng = random.Random(13)
+    edges = []
+    # long path (diameter 40) — the case star-contraction wins
+    edges += [(f"p{i:02d}", f"p{i+1:02d}") for i in range(40)]
+    # two cliques
+    for grp in ("x", "y"):
+        ids = [f"{grp}{i}" for i in range(6)]
+        edges += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    # random sparse graph
+    nodes = [f"r{i:03d}" for i in range(120)]
+    edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(100)]
+    df = spark.createDataFrame(
+        [e for e in edges if e[0] != e[1]], "src string, dst string")
+
+    want = {(r.node, r.component)
+            for r in connected_components(df, max_iter=60).collect()}
+    got = {(r.node, r.component)
+           for r in connected_components_star(df).collect()}
+    assert got == want
