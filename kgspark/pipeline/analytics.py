@@ -265,3 +265,47 @@ def keyword_filter(triples: DataFrame, subject_kws: list[str] | None = None,
     if object_kws:
         out = out.filter(any_hit(F.col("object"), object_kws))
     return out
+
+
+def node_importance(triples: DataFrame, max_betweenness_nodes: int = 20000) -> DataFrame:
+    """A-17: weighted node-importance / viz-size scoring (reference
+    visualization.py:207-227): importance = 0.5·deĝ + 0.3·btŵ + 0.2·eiĝ
+    (each max-normalized), size = 10 + 20·importance.
+
+    Degree and eigenvector are distributed; betweenness uses the guarded
+    driver-side Brandes (graph.betweenness_centrality_small) like the
+    reference's networkx call — viz-scale graphs only.  Returns
+    (node, degree, importance, size)."""
+    from kgspark.pipeline.graph import (
+        betweenness_centrality_small,
+        degrees,
+        eigenvector_centrality,
+    )
+
+    edges = triples.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    deg = degrees(edges)
+    eig = eigenvector_centrality(edges, max_iter=30, tol=None).withColumnRenamed(
+        "centrality", "eig")
+    btw = betweenness_centrality_small(edges, max_nodes=max_betweenness_nodes)
+    spark = triples.sparkSession
+    btw_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in btw.items()], "node string, btw double")
+
+    joined = deg.join(eig, "node", "left").join(btw_df, "node", "left") \
+        .na.fill({"eig": 0.0, "btw": 0.0})
+    maxes = F.broadcast(joined.agg(
+        F.max("degree").alias("_md"),
+        F.greatest(F.max("btw"), F.lit(1e-12)).alias("_mb"),
+        F.greatest(F.max("eig"), F.lit(1e-12)).alias("_me"),
+    ))
+    imp = (
+        0.5 * (F.col("degree") / F.col("_md"))
+        + 0.3 * (F.col("btw") / F.col("_mb"))
+        + 0.2 * (F.col("eig") / F.col("_me"))
+    )
+    return (
+        joined.crossJoin(maxes)
+        .withColumn("importance", F.round(imp, 6))
+        .withColumn("size", F.round(10 + 20 * imp, 4))
+        .select("node", "degree", "importance", "size")
+    )

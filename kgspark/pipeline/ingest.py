@@ -116,3 +116,15 @@ def repartition_salted(
         salted.repartition(n, F.col("_domain"), F.col("_salt"), F.col("url"))
         .drop("_domain", "_hot", "_salt")
     )
+
+
+def with_header(pages: DataFrame, header) -> DataFrame:
+    """S-7: prepend a per-document header line to the text before
+    chunking (reference data_processor.py:207-208 — title + blank line
+    ahead of the body; the header participates in chunk 1 and so in
+    extraction).  ``header`` is any Column expression (e.g. built from
+    url/warc_ts)."""
+    return pages.withColumn(
+        "text",
+        F.concat(header, F.lit("\n\n"), F.coalesce(F.col("text"), F.lit(""))),
+    )

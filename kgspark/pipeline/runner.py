@@ -294,3 +294,29 @@ def run_pipeline(
         "failed_buckets": n_failed,
         "seconds": t1 - t0,
     }
+
+
+def progress_report(spark: SparkSession, out_dir: str,
+                    num_buckets: int | None = None) -> DataFrame:
+    """C-5: monitoring summary over the manifests (reference analog:
+    monitor_kg_progress.py's per-year progress print).  One row per
+    status over each bucket's LATEST attempt: bucket count, rows in/out,
+    last finish time, and — when ``num_buckets`` is given — the fraction
+    of the keyspace in that status."""
+    from pyspark.sql import Window
+
+    m = spark.read.schema(MANIFEST_SCHEMA).parquet(
+        os.path.join(out_dir, "manifests"))
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("finished_at"), F.desc("run_id"))
+    latest = m.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    out = latest.groupBy("status").agg(
+        F.count("*").alias("buckets"),
+        F.sum("rows_in").alias("rows_in"),
+        F.sum("rows_out").alias("rows_out"),
+        F.max("finished_at").alias("last_finished_at"),
+    )
+    if num_buckets:
+        out = out.withColumn(
+            "pct_of_keyspace", F.round(F.col("buckets") * 100.0 / num_buckets, 2))
+    return out

@@ -146,3 +146,39 @@ def test_star_cc_equals_minlabel_cc(spark):
     got = {(r.node, r.component)
            for r in connected_components_star(df).collect()}
     assert got == want
+
+
+def test_node_importance_matches_reference_formula(spark):
+    """A-17: importance = 0.5·deg/max + 0.3·btw/max + 0.2·eig/max,
+    size = 10 + 20·importance (visualization.py:207-227) — checked
+    against a pure-Python recomputation on a small graph."""
+    from kgspark.pipeline.analytics import node_importance
+    from kgspark.pipeline.graph import betweenness_centrality_small
+
+    triples = spark.createDataFrame(
+        [("u", "a", "p", "b"), ("u", "b", "p", "c"), ("u", "c", "p", "d"),
+         ("u", "a", "p", "c"), ("u", "d", "p", "e")],
+        "url string, subject string, predicate string, object string")
+    got = {r.node: (r.importance, r.size) for r in node_importance(triples).collect()}
+
+    import math
+    adj = {}
+    for s, o in [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "e")]:
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    deg = {n: len(v) for n, v in adj.items()}
+    btw = betweenness_centrality_small(
+        triples.selectExpr("subject as src", "object as dst"))
+    # eigenvector: 30 fixed normalized power iterations like the engine
+    nodes = sorted(adj)
+    x = {n: 1 / math.sqrt(len(nodes)) for n in nodes}
+    for _ in range(30):
+        y = {n: sum(x[m] for m in adj[n]) for n in nodes}
+        nrm = math.sqrt(sum(v * v for v in y.values()))
+        x = {n: v / nrm for n, v in y.items()}
+    md, mb, me = max(deg.values()), max(btw.values()), max(x.values())
+    for n in nodes:
+        imp = 0.5 * deg[n] / md + 0.3 * btw[n] / max(mb, 1e-12) \
+            + 0.2 * x[n] / max(me, 1e-12)
+        assert abs(got[n][0] - round(imp, 6)) <= 1e-6
+        assert abs(got[n][1] - round(10 + 20 * imp, 4)) <= 1e-3

@@ -165,3 +165,21 @@ class TestT2S:
         sa = {(r.subject, r.predicate, r.object) for r in a.collect()}
         sb = {(r.subject, r.predicate, r.object) for r in b.collect()}
         assert sa == sb and sa, "traditional text must yield the simplified triples"
+
+
+def test_with_header_prepends_into_chunk1(spark):
+    """S-7: the header line lands at the start of the text and therefore
+    in chunk 1 (reference data_processor.py:207-208)."""
+    from pyspark.sql import functions as F
+
+    from kgspark.pipeline import chunking, ingest
+
+    pages = spark.createDataFrame(
+        [("u", None, None, "The body supports testing.", "en")],
+        schema=ingest.PAGES_SCHEMA)
+    withh = ingest.with_header(
+        pages, F.concat(F.lit("Report "), F.upper(F.col("lang"))))
+    chunks = chunking.chunk_pages(withh, 100, 20).collect()
+    assert chunks[0].chunk_id == 1
+    assert chunks[0].chunk_text.startswith("Report EN")
+    assert "The body supports testing." in chunks[0].chunk_text

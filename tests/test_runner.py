@@ -136,3 +136,16 @@ def test_entities_edges_tables(spark, tmp_path, pages_path):
     # every edge endpoint is a known entity
     e = ents.select(F.col("entity").alias("src"))
     assert edges.join(e, "src", "left_anti").count() == 0
+
+
+def test_progress_report(spark, tmp_path, pages_path):
+    from kgspark.pipeline.runner import progress_report
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, pages_path, out, CFG)
+    rep = progress_report(spark, out, num_buckets=CFG.num_buckets).collect()
+    by_status = {r.status: r for r in rep}
+    assert set(by_status) == {"success"}
+    assert by_status["success"].rows_in == 60
+    assert by_status["success"].rows_out > 0
+    assert by_status["success"].pct_of_keyspace == 100.0
