@@ -193,6 +193,28 @@ def _process_group(spark, pages, cfg, from_html, run_id, triples_path):
     per_bucket = (
         bucketed.groupBy("bucket").agg(F.count("*").alias("rows_out")).collect()
     )
+    # per-bucket partial aggregates for the derived tables, overwritten
+    # WITH their bucket: the final entities/edges merge then scans only
+    # these partials, never the full triples table (incremental runs at
+    # corpus scale must not pay a full-corpus rebuild per batch)
+    out_dir = os.path.dirname(triples_path)
+    mention_partials = (
+        bucketed.select("bucket", F.explode(F.array("subject", "object")).alias("entity"))
+        .groupBy("bucket", "entity")
+        .agg(F.count("*").alias("mentions"))
+    )
+    edge_partials = bucketed.select(
+        "bucket", F.col("subject").alias("src"), F.col("object").alias("dst"),
+        "predicate", "inferred",
+    ).distinct()
+    for name, df in (("mention_partials", mention_partials),
+                     ("edge_partials", edge_partials)):
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out_dir, name))
+        )
     bucketed.unpersist()
     t1 = time.time()
     manifest_rows = [
@@ -274,13 +296,25 @@ def run_pipeline(
         spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode(
             "append").parquet(manifest_path)
 
-    # entities/edges rebuilt over the full triples table (cheap aggregations)
+    # entities/edges merged from the per-bucket PARTIAL aggregates (written
+    # by _process_group with dynamic partition overwrite, so they stay
+    # consistent with the triples buckets): mention counts sum across
+    # buckets; edges/degree dedup the per-bucket distinct edge lists —
+    # both scans are over the compact partials, not the triples table
     try:
-        full = spark.read.parquet(triples_path)
-        entities_table(full).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "entities"))
-        edges_table(full).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "edges"))
+        mp = spark.read.parquet(os.path.join(out_dir, "mention_partials"))
+        ep = spark.read.parquet(os.path.join(out_dir, "edge_partials"))
+        edges = ep.select("src", "dst", "predicate", "inferred").distinct()
+        mentions = mp.groupBy("entity").agg(F.sum("mentions").alias("mentions"))
+        und = (
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+            .distinct()
+        )
+        deg = und.groupBy(F.col("a").alias("entity")).agg(F.count("*").alias("degree"))
+        ents = mentions.join(deg, "entity", "left").na.fill({"degree": 0})
+        ents.write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))
+        edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
     except Exception:
         # every group failed before any triples landed — nothing to rebuild
         pass

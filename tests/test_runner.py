@@ -127,6 +127,8 @@ def test_failed_group_leaves_failure_manifest_and_resumes(
 
 
 def test_entities_edges_tables(spark, tmp_path, pages_path):
+    from kgspark.pipeline.runner import edges_table, entities_table
+
     out = str(tmp_path / "out")
     run_pipeline(spark, pages_path, out, CFG)
     ents = spark.read.parquet(os.path.join(out, "entities"))
@@ -136,6 +138,36 @@ def test_entities_edges_tables(spark, tmp_path, pages_path):
     # every edge endpoint is a known entity
     e = ents.select(F.col("entity").alias("src"))
     assert edges.join(e, "src", "left_anti").count() == 0
+    # the partial-aggregate merge must equal a full rebuild over triples
+    full = _read_triples(spark, out)
+    want_ents = {tuple(r) for r in entities_table(full)
+                 .select("entity", "mentions", "degree").collect()}
+    got_ents = {tuple(r) for r in ents.select("entity", "mentions", "degree").collect()}
+    assert got_ents == want_ents
+    want_edges = {tuple(r) for r in edges_table(full).collect()}
+    got_edges = {tuple(r) for r in edges.collect()}
+    assert got_edges == want_edges
+
+
+def test_entities_consistent_after_resume(spark, tmp_path, pages_path):
+    """Incremental runs merge per-bucket partials; after a crash-resume
+    the derived tables must equal an uninterrupted run's."""
+    clean = str(tmp_path / "clean")
+    run_pipeline(spark, pages_path, clean, CFG)
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, pages_path, out, CFG)
+    mpath = os.path.join(out, "manifests")
+    m = spark.read.parquet(mpath)
+    kept = m.filter(F.col("bucket") % 2 == 0)
+    kept.write.mode("overwrite").parquet(str(tmp_path / "m2"))
+    spark.read.parquet(str(tmp_path / "m2")).write.mode("overwrite").parquet(mpath)
+    run_pipeline(spark, pages_path, out, CFG)
+
+    for table in ("entities", "edges"):
+        a = {tuple(r) for r in spark.read.parquet(os.path.join(out, table)).collect()}
+        b = {tuple(r) for r in spark.read.parquet(os.path.join(clean, table)).collect()}
+        assert a == b
 
 
 def test_progress_report(spark, tmp_path, pages_path):
