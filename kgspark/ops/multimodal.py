@@ -92,3 +92,58 @@ def frame_sample(decoded: DataFrame, every_k: int = 2) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
     ).filter(F.col("frame_idx") % every_k == 0)
+
+
+def resize_plan(decoded: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Aspect-preserving resize planning (pure JVM integer arithmetic):
+    scale_millis = min(1000, 1000·max_w//w, 1000·max_h//h) — never
+    upscale — and resized dims = dim·scale_millis//1000.  The pixel
+    resample itself belongs to the (stubbed) decoder; this is the
+    deterministic planning/plumbing step a preprocessing pipeline
+    schedules work with, exactly replayable cross-engine."""
+    scale = F.least(
+        F.lit(1000).cast("long"),
+        F.floor(F.lit(1000) * max_w / F.col("width")).cast("long"),
+        F.floor(F.lit(1000) * max_h / F.col("height")).cast("long"),
+    )
+    return decoded.select(
+        "doc_id", "width", "height",
+        scale.alias("scale_millis"),
+        (F.col("width") * scale / 1000).cast("long").alias("resized_w"),
+        (F.col("height") * scale / 1000).cast("long").alias("resized_h"),
+    )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def byte_histogram_features(payloads: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction over the opaque payload: a dim-bucket byte
+    histogram (bucket = byte % dim), L1-normalized, rounded to 6dp —
+    the deterministic stand-in for an embedding/feature model, with the
+    real mapInPandas batch shape (Arrow in, Arrow out, no shuffle)."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def hist(b: bytes) -> list[float]:
+            n = len(b)
+            if not n:
+                return [0.0] * dim
+            counts = [0] * dim
+            for byte in b:
+                counts[byte % dim] += 1
+            # integer round-half-up to 6dp: Python round() is banker's,
+            # SQL round is half-away — integer arithmetic matches both
+            # engines' doubles exactly
+            return [((2_000_000 * c + n) // (2 * n)) / 1e6 for c in counts]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "features": pdf["payload"].map(hist)}
+            )
+
+    return payloads.mapInPandas(go, FEATURES_SCHEMA)

@@ -1556,6 +1556,72 @@ SQL_MM_DECODE_META = """
 """
 
 
+def q_mm_resize(spark, sf):
+    """Resize planning over decoded metadata (aspect-preserving integer
+    scale; never upscales)."""
+    d = relational.load(spark, sf, "documents")
+    decoded = multimodal.decode_image_meta(multimodal.with_payload(d, "doc_id", "text"))
+    return multimodal.resize_plan(decoded, max_w=224, max_h=224).select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("scale_millis").cast("long").alias("scale_millis"),
+        "resized_w", "resized_h",
+    )
+
+
+SQL_MM_RESIZE = """
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+        SELECT doc_id, (64 + n % 577)::BIGINT AS width,
+               (64 + (n * 31) % 419)::BIGINT AS height
+        FROM b),
+    scaled AS (
+        SELECT doc_id, width, height,
+               least(1000, (1000 * 224) // width, (1000 * 224) // height) AS scale_millis
+        FROM dims)
+    SELECT doc_id::BIGINT AS doc_id, width, height,
+           scale_millis::BIGINT AS scale_millis,
+           (width * scale_millis // 1000)::BIGINT AS resized_w,
+           (height * scale_millis // 1000)::BIGINT AS resized_h
+    FROM scaled
+"""
+
+
+def q_mm_features(spark, sf):
+    """Byte-histogram feature extraction (mapInPandas, deterministic
+    embedding stand-in); exploded to (doc_id, bucket, value) so the
+    oracle compares scalar cells."""
+    d = relational.load(spark, sf, "documents")
+    feats = multimodal.byte_histogram_features(
+        multimodal.with_payload(d, "doc_id", "text"), dim=16)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bucket", "value")
+    ).select("doc_id", F.col("bucket").cast("long").alias("bucket"), "value")
+
+
+SQL_MM_FEATURES = """
+    WITH raw AS (
+        SELECT doc_id, octet_length(encode(text)) AS n,
+               hex(encode(text)) AS h
+        FROM documents),
+    bytes AS (
+        SELECT doc_id, n,
+               (('0x' || substr(h, 2 * i - 1, 2))::INTEGER % 16) AS bucket
+        FROM raw, unnest(generate_series(1, n)) t(i)),
+    counts AS (
+        SELECT doc_id, bucket, count(*) AS c FROM bytes GROUP BY doc_id, bucket),
+    grid AS (
+        SELECT r.doc_id, r.n, g.bucket
+        FROM raw r, (SELECT unnest(generate_series(0, 15)) AS bucket) g)
+    SELECT g.doc_id::BIGINT AS doc_id, g.bucket::BIGINT AS bucket,
+           round(coalesce(c.c, 0) * 1.0 / g.n, 6) AS value
+    FROM grid g LEFT JOIN counts c
+      ON g.doc_id = c.doc_id AND g.bucket = c.bucket
+"""
+
+
 def q_mm_frame_sample(spark, sf):
     d = relational.load(spark, sf, "documents")
     decoded = multimodal.decode_image_meta(multimodal.with_payload(d, "doc_id", "text"))
@@ -1752,6 +1818,8 @@ QUERIES: dict[str, tuple] = {
     "emb_ivf_topk": (q_emb_ivf_topk, SQL_EMB_IVF_TOPK),
     "mm_decode_meta": (q_mm_decode_meta, SQL_MM_DECODE_META),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
+    "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
+    "mm_features": (q_mm_features, SQL_MM_FEATURES),
     "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
     "ev_tumbling": (q_ev_tumbling, SQL_EV_TUMBLING),
     "pipe_extract_parity": (q_pipe_extract_parity, None),

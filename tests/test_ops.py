@@ -231,3 +231,20 @@ def test_ivf_recall_vs_brute_force(spark):
     for r in ivf.collect():
         if (r.query_id, r.neighbor_id) in sims_b:
             assert sims_b[(r.query_id, r.neighbor_id)] == r.sim
+
+
+def test_mm_resize_and_features(spark):
+    """Resize planning never upscales and preserves aspect by integer
+    scale; byte-histogram features are L1-normalized per doc."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    payloads = multimodal.with_payload(d, "doc_id", "text")
+    decoded = multimodal.decode_image_meta(payloads)
+    plan = multimodal.resize_plan(decoded, max_w=224, max_h=224)
+    for r in plan.collect():
+        assert r.scale_millis <= 1000
+        assert r.resized_w <= 224 and r.resized_h <= 224
+        assert r.resized_w == r.width * r.scale_millis // 1000
+    feats = multimodal.byte_histogram_features(payloads, dim=16).collect()
+    assert all(len(r.features) == 16 for r in feats)
+    for r in feats[:20]:
+        assert abs(sum(r.features) - 1.0) < 1e-3  # rounding slack
