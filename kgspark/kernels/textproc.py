@@ -113,14 +113,17 @@ def normalize_text(text: str) -> str:
 # Traditional→Simplified conversion (S-6)
 # --------------------------------------------------------------------------
 
-# Character-level t2s table covering the engine's zh relation lexicon
-# (kernels/triple_extract.py ZH_RELATIONS), the zh function words the
-# extractor trims, and the high-frequency characters of the fixtures —
-# the inlined stand-in SURVEY §7.4 allows for the reference's OpenCC pass
-# (data_processor.py:47-62).  Character-level t2s is exact for this
-# vocabulary (no one-to-many mappings in it); corpora beyond it need a
-# real OpenCC dictionary plugged into the same hook.
-T2S_MAP = str.maketrans({
+# Character-level t2s: the engine-lexicon map below (exact for the zh
+# relation lexicon of kernels/triple_extract.py ZH_RELATIONS, the zh
+# function words the extractor trims, and the fixture vocabulary — no
+# one-to-many ambiguity inside it) layered OVER the production-coverage
+# single-character table in kernels/t2s_table.py (the ~2.4k-entry
+# OpenCC-TSTCharacters-shaped subset), the inlined stand-in SURVEY §7.4
+# allows for the reference's OpenCC pass (data_processor.py:47-62).
+# Lexicon entries win on overlap so engine-critical conversions are
+# pinned; corpora needing phrase-level disambiguation plug a real OpenCC
+# instance into the same ``t2s_convert`` hook.
+_T2S_LEXICON = str.maketrans({
     "進": "进", "動": "动", "發": "发", "設": "设", "強": "强", "資": "资",
     "擴": "扩", "勵": "励", "養": "养", "護": "护", "優": "优", "實": "实",
     "屬": "属", "於": "于", "帶": "带", "來": "来", "將": "将", "會": "会",
@@ -135,6 +138,10 @@ T2S_MAP = str.maketrans({
     "園": "园", "場": "场", "廠": "厂", "試": "试", "驗": "验", "術": "术",
     "數": "数", "據": "据", "標": "标", "準": "准", "連": "连", "運": "运",
 })
+
+from kgspark.kernels.t2s_table import T2S_EXTENDED  # noqa: E402
+
+T2S_MAP: dict[int, str] = {**T2S_EXTENDED, **_T2S_LEXICON}
 
 
 def t2s_convert(text: str) -> str:

@@ -267,16 +267,21 @@ def keyword_filter(triples: DataFrame, subject_kws: list[str] | None = None,
     return out
 
 
-def node_importance(triples: DataFrame, max_betweenness_nodes: int = 20000) -> DataFrame:
+def node_importance(triples: DataFrame, max_betweenness_nodes: int = 20000,
+                    btw_k_sources: int = 64) -> DataFrame:
     """A-17: weighted node-importance / viz-size scoring (reference
     visualization.py:207-227): importance = 0.5·deĝ + 0.3·btŵ + 0.2·eiĝ
     (each max-normalized), size = 10 + 20·importance.
 
-    Degree and eigenvector are distributed; betweenness uses the guarded
-    driver-side Brandes (graph.betweenness_centrality_small) like the
-    reference's networkx call — viz-scale graphs only.  Returns
+    Degree and eigenvector are distributed.  Betweenness is exact
+    driver-side Brandes up to ``max_betweenness_nodes`` (the reference's
+    networkx call, visualization.py:168 — viz-scale graphs) and switches
+    to the distributed k-source sampled Brandes
+    (graph.betweenness_centrality_sampled, deterministic top-degree
+    pivots) beyond it — no raise path at corpus scale.  Returns
     (node, degree, importance, size)."""
     from kgspark.pipeline.graph import (
+        betweenness_centrality_sampled,
         betweenness_centrality_small,
         degrees,
         eigenvector_centrality,
@@ -286,10 +291,13 @@ def node_importance(triples: DataFrame, max_betweenness_nodes: int = 20000) -> D
     deg = degrees(edges)
     eig = eigenvector_centrality(edges, max_iter=30, tol=None).withColumnRenamed(
         "centrality", "eig")
-    btw = betweenness_centrality_small(edges, max_nodes=max_betweenness_nodes)
     spark = triples.sparkSession
-    btw_df = spark.createDataFrame(
-        [(k, float(v)) for k, v in btw.items()], "node string, btw double")
+    if deg.count() <= max_betweenness_nodes:
+        btw = betweenness_centrality_small(edges, max_nodes=max_betweenness_nodes)
+        btw_df = spark.createDataFrame(
+            [(k, float(v)) for k, v in btw.items()], "node string, btw double")
+    else:
+        btw_df = betweenness_centrality_sampled(edges, k_sources=btw_k_sources)
 
     joined = deg.join(eig, "node", "left").join(btw_df, "node", "left") \
         .na.fill({"eig": 0.0, "btw": 0.0})

@@ -16,6 +16,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _lineage_cut(df: DataFrame, strategy: str) -> DataFrame:
+    """Periodic lineage barrier for the iterative loops, mirroring
+    ``runner.build_triples(materialize=)``:
+
+      * ``"localCheckpoint"`` — eager executor-local checkpoint:
+        truncates per-round plan growth, but checkpointed blocks die
+        with their executor (the single-JVM/local default).
+      * ``"checkpoint"`` — eager reliable checkpoint to the directory
+        set via ``spark.sparkContext.setCheckpointDir`` (HDFS/S3 on a
+        real cluster): blocks survive executor loss at the price of a
+        distributed write per cut.
+      * ``"persist"`` — the cluster-safe middle ground (GraphFrames'
+        ``AggregateMessages.getCachedDataFrame`` pattern): rebuild the
+        DataFrame from the physical plan's RDD, truncating the Catalyst
+        plan — the loop's self-union/self-join otherwise multiplies the
+        logical tree per round until the analyzer's DeduplicateRelations
+        copy-out OOMs the driver — while keeping RDD-level lineage, so
+        blocks lost with an executor are recomputed (the loop persists
+        each iterate; recomputation walks the RDD chain back to source).
+      * ``"none"`` — no truncation: tiny graphs / few rounds only (the
+        logical plan grows multiplicatively with iterations).
+    """
+    if strategy == "localCheckpoint":
+        return df.localCheckpoint(eager=True)
+    if strategy == "checkpoint":
+        return df.checkpoint(eager=True)
+    if strategy == "persist":
+        jdf = df._jdf
+        spark = df.sparkSession
+        jdf2 = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(jdf2, spark)
+    if strategy == "none":
+        return df
+    raise ValueError(f"unknown materialize strategy: {strategy!r}")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -24,6 +61,7 @@ def connected_components(
     max_iter: int = 30,
     checkpoint_every: int = 3,
     check_convergence_every: int = 2,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """Return (key?, node, component); component = min label in the
     (undirected) component — the reference DFS also follows both edge
@@ -67,7 +105,7 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         if (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = _lineage_cut(new_labels, materialize)
         new_labels = new_labels.persist()
         changed = 1
         if (it + 1) % check_convergence_every == 0 or it == max_iter - 1:
@@ -94,6 +132,7 @@ def connected_components_star(
     dst: str = "dst",
     max_iter: int = 20,
     checkpoint_every: int = 1,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -147,15 +186,36 @@ def connected_components_star(
 
     cur = e
     prev_sig = None
+    sig = None
+    converged = False
     for it in range(max_iter):
         cur = star(star(cur, large=True), large=False)
         if (it + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+            cur = _lineage_cut(cur, materialize)
         cur = cur.persist()
         sig = signature(cur)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    # Convergence + well-formedness gate: exhausting max_iter leaves a
+    # partially-contracted forest (possibly even 1-out-per-node, so a
+    # shape check alone cannot catch it), and the signature equality can
+    # in principle be fooled by a hash collision — either way a wrong
+    # labeling would otherwise be returned SILENTLY.  A converged star
+    # edge set has exactly one outgoing edge per non-root node, so
+    # |edges| == |distinct u| certifies the shape with one extra cheap
+    # count (the edge count was already paid by the signature action).
+    # On any doubt, fall back to min-label CC (same output contract);
+    # only a collision that also yields a well-formed-but-stale forest
+    # would slip through — two simultaneous ~2^-64 events.
+    well_formed = (
+        converged and sig[0] == cur.select("u").distinct().count())
+    if not well_formed:
+        e.unpersist()
+        return connected_components(
+            edges, src=src, dst=dst, max_iter=max(max_iter * 3, 60),
+            materialize=materialize)
     # stars: (child, root); roots and isolated-in-star nodes map to themselves
     labels = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
     out = (
@@ -189,6 +249,7 @@ def eigenvector_centrality(
     tol: float | None = 1e-6,
     checkpoint_every: int = 5,
     raise_on_no_convergence: bool = False,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """Eigenvector centrality by power iteration over the undirected
     simple graph — iterative join-agg (the PageRank skeleton), reference
@@ -228,7 +289,7 @@ def eigenvector_centrality(
             break
         new_x = y.select("node", (F.col("raw") / F.lit(norm)).alias("score"))
         if (it + 1) % checkpoint_every == 0:
-            new_x = new_x.localCheckpoint(eager=True)
+            new_x = _lineage_cut(new_x, materialize)
         new_x = new_x.persist()
         if tol is not None:
             delta = (
@@ -316,6 +377,7 @@ def label_propagation(
     dst: str = "dst",
     max_iter: int = 5,
     checkpoint_every: int = 3,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """Community detection by synchronous label propagation — the
     deterministic stand-in for the reference's Louvain call
@@ -356,12 +418,180 @@ def label_propagation(
             ).alias("label")
         )
         if (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = _lineage_cut(new_labels, materialize)
         new_labels = new_labels.persist()
         labels.unpersist()
         labels = new_labels
     und.unpersist()
     return labels
+
+
+def betweenness_centrality_sampled(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k_sources: int = 64,
+    normalized: bool = True,
+    max_depth: int = 60,
+    checkpoint_every: int = 4,
+    materialize: str = "localCheckpoint",
+) -> DataFrame:
+    """Approximate betweenness centrality for LARGE graphs: k-source
+    Brandes (Brandes & Pich 2007 pivot sampling) as a fully distributed
+    iterative DataFrame BFS — the scale path `node_importance` takes when
+    the graph exceeds the driver-side `betweenness_centrality_small`
+    guard (reference analog stays networkx-exact at viz scale,
+    visualization.py:168).
+
+    Sources are picked DETERMINISTICALLY: the `k_sources` highest-degree
+    nodes (ties broken by smallest node id) — reproducible across runs,
+    and high-degree pivots empirically dominate shortest-path mass in
+    the skewed web/KG graphs this pipeline builds.  With
+    ``k_sources >= n`` every node is a source and the result equals
+    exact Brandes (the unit tests rely on this identity).
+
+    Algorithm (all stages are joins/groupBys over (source, node) keyed
+    frames — k sources advance in ONE wave per BFS depth, so the job
+    count is O(diameter), not O(k·diameter)):
+
+      forward:  frontier_{d+1} = (frontier_d ⋈ edges) ∖ visited,
+                sigma summed over predecessors (path counts);
+      backward: for d = D..1, delta_v += Σ_w σ_v/σ_w · (1+delta_w)
+                over BFS-tree edges (v at d-1, w at d);
+                bc_w += delta_w for every non-source w.
+
+    Estimator: bc_est(v) = (n / k_eff) · Σ_{s∈sample} delta_s(v),
+    scaled like the exact variant (÷2 for the undirected double count,
+    ×1/((n-1)(n-2)) when ``normalized``) — an unbiased estimate under
+    uniform sampling, a deterministic pivot approximation here.
+
+    Returns a DataFrame (node, btw) covering every node (unreached → 0).
+    """
+    spark = edges.sparkSession
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    all_nodes = und.select(F.col("a").alias("node")).distinct().persist()
+    n = all_nodes.count()
+    if n == 0:
+        und.unpersist()
+        all_nodes.unpersist()
+        return spark.createDataFrame([], "node string, btw double")
+
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))
+    sources = F.broadcast(
+        deg.orderBy(F.col("degree").desc(), F.col("node"))
+        .limit(min(k_sources, n))
+        .select(F.col("node").alias("source"))
+    )
+    k_eff = min(k_sources, n)
+
+    # ---- forward BFS: visited = (source, node, dist, sigma) ----
+    frontier = sources.select(
+        "source", F.col("source").alias("node"),
+        F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"),
+    ).persist()
+    visited = frontier
+    per_level: list[DataFrame] = [frontier]
+    d = 0
+    while d < max_depth:
+        nxt = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select("source", F.col("b").alias("node"), "sigma")
+            .join(visited.select("source", "node"), ["source", "node"],
+                  "left_anti")
+            .groupBy("source", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("dist", F.lit(d + 1))
+            .select("source", "node", "dist", "sigma")
+        )
+        if (d + 1) % checkpoint_every == 0:
+            nxt = _lineage_cut(nxt, materialize)
+        nxt = nxt.persist()
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        new_visited = visited.union(nxt)
+        if (d + 1) % checkpoint_every == 0:
+            new_visited = _lineage_cut(new_visited, materialize)
+        new_visited = new_visited.persist()
+        if visited is not frontier:
+            visited.unpersist()
+        visited = new_visited
+        frontier = nxt
+        d += 1
+        per_level.append(nxt)
+
+    # ---- backward accumulation over BFS-tree edges, deepest first ----
+    bc_parts: list[DataFrame] = []
+    delta = None  # (source, node, delta) at the current level
+    for dd in range(d, 0, -1):
+        w_level = per_level[dd]
+        if delta is None:
+            w_frontier = w_level.withColumn("delta", F.lit(0.0))
+        else:
+            w_frontier = (
+                w_level.join(delta, ["source", "node"], "left")
+                .na.fill({"delta": 0.0})
+            )
+        w_frontier = w_frontier.persist()
+        # credit: every non-source w at this level adds delta_w to bc[w]
+        bc_parts.append(
+            w_frontier.filter(F.col("node") != F.col("source"))
+            .select("node", F.col("delta").alias("c"))
+        )
+        prev = per_level[dd - 1].select(
+            "source", F.col("node").alias("vnode"),
+            F.col("sigma").alias("sigma_v"),
+        )
+        new_delta = (
+            w_frontier.join(und, w_frontier["node"] == und["b"])
+            .select(
+                "source", F.col("a").alias("vnode"),
+                ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("wt"),
+            )
+            .join(prev, ["source", "vnode"])
+            .groupBy("source", F.col("vnode").alias("node"))
+            .agg(F.sum(F.col("sigma_v") * F.col("wt")).alias("delta"))
+        )
+        if (d - dd + 1) % checkpoint_every == 0:
+            new_delta = _lineage_cut(new_delta, materialize)
+        new_delta = new_delta.persist()
+        new_delta.count()  # materialize before unpersisting inputs
+        if delta is not None:
+            delta.unpersist()
+        w_frontier.unpersist()
+        delta = new_delta
+
+    factor = float(n) / k_eff
+    scale = 0.5 * factor
+    if normalized and n > 2:
+        scale = factor / ((n - 1) * (n - 2))
+    if bc_parts:
+        acc = bc_parts[0]
+        for p in bc_parts[1:]:
+            acc = acc.union(p)
+        bc = acc.groupBy("node").agg((F.sum("c") * F.lit(scale)).alias("btw"))
+    else:
+        bc = spark.createDataFrame([], "node string, btw double")
+    # cut lineage from the soon-unpersisted BFS frames (strategy-pluggable;
+    # "persist"/"none" keep recomputable lineage, so the unpersists below
+    # only cost recompute time, never correctness)
+    out = _lineage_cut(
+        all_nodes.join(bc, "node", "left").na.fill({"btw": 0.0}), materialize)
+    if delta is not None:
+        delta.unpersist()
+    for lvl in per_level:
+        lvl.unpersist()
+    if visited is not frontier:
+        visited.unpersist()
+    und.unpersist()
+    all_nodes.unpersist()
+    return out
 
 
 def betweenness_centrality_small(

@@ -143,11 +143,13 @@ def apply_linking(triples: DataFrame, link_map: DataFrame,
     ``standardize.apply_entity_map``: the link map grows with the entity
     vocabulary, so broadcast only under ``max_broadcast_rows``
     (cfg ``broadcast_map_max_rows``); above it the two applies shuffle
-    on the entity key.
+    on the entity key.  The sizing count runs on the UNpersisted frame —
+    the map's tail lineage ends at connected_components' persisted label
+    iterate, so recompute is cheap, and persisting here would leak a
+    cached RDD per invocation in long-lived drivers (no unpersist hook
+    exists after the lazy output materializes).
     """
     if broadcast_map is None:
-        from pyspark import StorageLevel
-        link_map = link_map.persist(StorageLevel.MEMORY_AND_DISK)
         broadcast_map = link_map.count() <= max_broadcast_rows
     if broadcast_map:
         link_map = F.broadcast(link_map)

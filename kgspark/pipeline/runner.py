@@ -216,6 +216,26 @@ def _process_group(spark, pages, cfg, from_html, run_id, triples_path):
             .parquet(os.path.join(out_dir, name))
         )
     bucketed.unpersist()
+    # Dynamic partition overwrite only rewrites partitions PRESENT in the
+    # new output: a reprocessed bucket (force=True, or retry after a
+    # failure) that now yields zero triples would otherwise keep its stale
+    # partition files — phantom rows surviving into the entities/edges
+    # merge.  Clear those partition dirs explicitly (Hadoop FS API, so the
+    # same code path works on HDFS/S3A, not just local disk).
+    seen = {int(r["bucket"]) for r in per_bucket}
+    zero_buckets = [int(b) for b in in_per_bucket if int(b) not in seen]
+    if zero_buckets:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for base in (triples_path,
+                     os.path.join(out_dir, "mention_partials"),
+                     os.path.join(out_dir, "edge_partials")):
+            for b in zero_buckets:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(base, f"bucket={b}"))
+                fs = p.getFileSystem(hconf)
+                if fs.exists(p):
+                    fs.delete(p, True)
     t1 = time.time()
     manifest_rows = [
         (run_id, "triples", int(r["bucket"]), int(in_per_bucket.get(r["bucket"], 0)),
@@ -223,7 +243,6 @@ def _process_group(spark, pages, cfg, from_html, run_id, triples_path):
         for r in per_bucket
     ]
     # buckets that had pages but produced zero triples still complete
-    seen = {int(r["bucket"]) for r in per_bucket}
     for bkt, cnt in in_per_bucket.items():
         if int(bkt) not in seen:
             manifest_rows.append(
@@ -300,7 +319,12 @@ def run_pipeline(
     # by _process_group with dynamic partition overwrite, so they stay
     # consistent with the triples buckets): mention counts sum across
     # buckets; edges/degree dedup the per-bucket distinct edge lists —
-    # both scans are over the compact partials, not the triples table
+    # both scans are over the compact partials, not the triples table.
+    # Only the missing-partials case (every group failed before any
+    # triples landed) is tolerated; real merge failures (corrupt partials,
+    # schema drift, disk full) must propagate, not leave the derived
+    # tables silently stale.
+    from pyspark.errors import AnalysisException
     try:
         mp = spark.read.parquet(os.path.join(out_dir, "mention_partials"))
         ep = spark.read.parquet(os.path.join(out_dir, "edge_partials"))
@@ -315,9 +339,15 @@ def run_pipeline(
         ents = mentions.join(deg, "entity", "left").na.fill({"degree": 0})
         ents.write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))
         edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
-    except Exception:
-        # every group failed before any triples landed — nothing to rebuild
-        pass
+    except AnalysisException as exc:
+        # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA: every group failed (or
+        # produced zero rows) before any partials landed — nothing to
+        # rebuild.  Any other analysis error is a real defect that must
+        # not leave the derived tables silently stale.
+        benign = ("PATH_NOT_FOUND", "Path does not exist",
+                  "UNABLE_TO_INFER_SCHEMA")
+        if not any(b in str(exc) for b in benign):
+            raise
 
     pages.unpersist()
     return {

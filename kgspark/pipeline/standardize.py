@@ -114,12 +114,13 @@ def apply_entity_map(triples: DataFrame, entity_map: DataFrame,
     broadcasts only under ``max_broadcast_rows`` (cfg
     ``broadcast_map_max_rows``): the map is per-url so it grows linearly
     with the corpus — an unconditional broadcast OOMs at scale.  Above
-    the cutoff the joins shuffle on (url, variant) instead; the map is
-    persisted either way since both the subject and object joins scan it.
+    the cutoff the joins shuffle on (url, variant) instead.  The sizing
+    count runs on the UNpersisted frame: the map's lineage is a cheap
+    aggregation over the (already-barriered) triples, and a persist here
+    would leak a cached RDD for the session lifetime, since the output is
+    lazy and there is no hook to unpersist after the caller materializes.
     """
     if broadcast_map is None:
-        from pyspark import StorageLevel
-        entity_map = entity_map.persist(StorageLevel.MEMORY_AND_DISK)
         broadcast_map = entity_map.count() <= max_broadcast_rows
     m = F.broadcast(entity_map) if broadcast_map else entity_map
     ms = m.select(F.col("url").alias("_us"), F.col("variant").alias("_vs"),

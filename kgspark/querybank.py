@@ -841,12 +841,21 @@ SQL_KG_DEDUP = """
 
 
 def q_kg_connected_components(spark, sf):
-    """O-20: iterative min-label propagation over the geo graph; DuckDB
-    replays it with a recursive reachability CTE."""
+    """O-20: BOTH CC algorithms in one driver query — min-label
+    propagation AND large-star/small-star contraction, each tagged by
+    ``algo`` and checked against the same recursive-CTE reachability
+    oracle (so the driver verifies the two implementations agree exactly).
+    Folded from the former separate ``kg_cc_star`` registration so every
+    exact-oracle query fits inside the driver's 50-query budget."""
+    from kgspark.pipeline.graph import connected_components_star
     edges = relational.geo_graph_triples(spark, sf).select(
         F.col("subject").alias("src"), F.col("object").alias("dst")
     )
-    return connected_components(edges).select("node", "component")
+    minlabel = connected_components(edges).select(
+        F.lit("minlabel").alias("algo"), "node", "component")
+    star = connected_components_star(edges).select(
+        F.lit("star").alias("algo"), "node", "component")
+    return minlabel.unionByName(star)
 
 
 SQL_KG_CC = f"""
@@ -858,20 +867,12 @@ SQL_KG_CC = f"""
     reach(node, r) AS (
         SELECT a, a FROM und
         UNION
-        SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.node)
-    SELECT node, min(r) AS component FROM reach GROUP BY node
+        SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.node),
+    cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT 'minlabel' AS algo, node, component FROM cc
+    UNION ALL
+    SELECT 'star' AS algo, node, component FROM cc
 """
-
-
-def q_kg_cc_star(spark, sf):
-    """O-20 scale variant: large-star/small-star contraction CC
-    (O(log n) rounds vs min-label's O(diameter)) — same component
-    assignment, same recursive-CTE oracle as kg_connected_components."""
-    from kgspark.pipeline.graph import connected_components_star
-    edges = relational.geo_graph_triples(spark, sf).select(
-        F.col("subject").alias("src"), F.col("object").alias("dst")
-    )
-    return connected_components_star(edges).select("node", "component")
 
 
 def q_kg_infer_full(spark, sf):
@@ -1616,7 +1617,12 @@ SQL_MM_FEATURES = """
         SELECT r.doc_id, r.n, g.bucket
         FROM raw r, (SELECT unnest(generate_series(0, 15)) AS bucket) g)
     SELECT g.doc_id::BIGINT AS doc_id, g.bucket::BIGINT AS bucket,
-           round(coalesce(c.c, 0) * 1.0 / g.n, 6) AS value
+           -- same integer round-half-up formula as byte_histogram_features
+           -- (double round() can flip at exact .5-at-7th-digit boundaries);
+           -- n=0 guarded to 0.0 like the Spark path's [0.0]*dim
+           CASE WHEN g.n = 0 THEN 0.0
+                ELSE ((2000000 * coalesce(c.c, 0) + g.n) // (2 * g.n)) / 1e6
+           END AS value
     FROM grid g LEFT JOIN counts c
       ON g.doc_id = c.doc_id AND g.bucket = c.bucket
 """
@@ -1763,7 +1769,12 @@ def q_pipe_linking(spark, sf):
     from kgspark.pipeline.runner import build_triples
     cfg = KgConfig()
     triples = build_triples(_synth_pages(spark, sf), cfg, from_html=True)
-    triples = triples.localCheckpoint(eager=True)  # cut phase-1..3 lineage
+    # cluster-safe barrier before linking re-scans the triples (persist
+    # keeps the rounds recomputable on executor loss, unlike the
+    # executor-local localCheckpoint this used in round 2)
+    from pyspark import StorageLevel
+    triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
+    triples.count()
     link_map = linking.link_entities(triples, cfg)
     return (
         link_map.groupBy("canon").agg(F.count("*").cast("long").alias("n_variants"))
@@ -1799,7 +1810,6 @@ QUERIES: dict[str, tuple] = {
     "kg_lexical_inference": (q_kg_lexical_inference, SQL_KG_LEXICAL),
     "kg_dedup_triples": (q_kg_dedup_triples, SQL_KG_DEDUP),
     "kg_connected_components": (q_kg_connected_components, SQL_KG_CC),
-    "kg_cc_star": (q_kg_cc_star, SQL_KG_CC),
     "kg_infer_full": (q_kg_infer_full, SQL_KG_INFER_FULL),
     "doc_chunk_oversize": (q_doc_chunk_oversize, SQL_DOC_CHUNK_OVERSIZE),
     "doc_chunk_overlap": (q_doc_chunk_overlap, SQL_DOC_CHUNK_OVERLAP),
@@ -1945,3 +1955,13 @@ SQL_KG_EIGENVECTOR = _eigenvector_sql(_EIG_ITERS)
 
 QUERIES["kg_triangles"] = (q_kg_triangles, SQL_KG_TRIANGLES)
 QUERIES["kg_eigenvector"] = (q_kg_eigenvector, SQL_KG_EIGENVECTOR)
+
+# Driver budget ordering: the driver executes at most 50 registered
+# queries in registration order.  The rows-only pipe_* checks re-register
+# LAST so every exact-oracle query (including the two appended above)
+# stays inside the budget — if anything is ever dropped it is a rows-only
+# entry, never an oracle-bearing one.
+for _k in ("pipe_extract_parity", "pipe_extract_triples",
+           "pipe_kg_e2e", "pipe_linking"):
+    QUERIES[_k] = QUERIES.pop(_k)
+assert len(QUERIES) <= 50, f"driver query budget exceeded: {len(QUERIES)}"

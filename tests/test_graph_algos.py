@@ -95,6 +95,78 @@ def test_betweenness_star(spark):
     assert bc["x1"] == 0.0
 
 
+def test_sampled_betweenness_all_sources_equals_exact(spark, edges_df):
+    """With k_sources >= n the k-source sampled Brandes sums over every
+    source, so it must equal exact Brandes to float precision (VERDICT
+    r02 item 6)."""
+    from kgspark.pipeline.graph import (
+        betweenness_centrality_sampled, betweenness_centrality_small)
+
+    exact = betweenness_centrality_small(edges_df)
+    got = {r.node: r.btw for r in betweenness_centrality_sampled(
+        edges_df, k_sources=10**6).collect()}
+    assert set(got) == set(exact)
+    for node, want in exact.items():
+        assert got[node] == pytest.approx(want, abs=1e-9), node
+
+
+def test_sampled_betweenness_all_sources_exact_barbell(spark):
+    """Barbell (two triangles joined by a path): bridge nodes carry all
+    the betweenness; k=n identity again, on a graph with heavy
+    path-dependence, plus materialize='persist' parity."""
+    from kgspark.pipeline.graph import (
+        betweenness_centrality_sampled, betweenness_centrality_small)
+
+    edges = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+             ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+             ("a1", "m1"), ("m1", "m2"), ("m2", "b1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    exact = betweenness_centrality_small(df)
+    for mat in ("localCheckpoint", "persist"):
+        got = {r.node: r.btw for r in betweenness_centrality_sampled(
+            df, k_sources=100, materialize=mat).collect()}
+        for node, want in exact.items():
+            assert got[node] == pytest.approx(want, abs=1e-9), (mat, node)
+
+
+def test_sampled_betweenness_subsample_ranks(spark):
+    """With k < n the estimate is approximate but the deterministic
+    top-degree pivots must still rank the true top bridge first and give
+    leaves ~0 (the node_importance contract at corpus scale)."""
+    from kgspark.pipeline.graph import betweenness_centrality_sampled
+
+    # hub-and-spoke chain: h1 bridges two stars -> highest betweenness
+    edges = ([("h1", f"l{i}") for i in range(6)]
+             + [("h2", f"m{i}") for i in range(6)]
+             + [("h1", "h2")])
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.btw for r in betweenness_centrality_sampled(
+        df, k_sources=4).collect()}
+    top = max(got, key=got.get)
+    assert top in ("h1", "h2")
+    assert got["l3"] == pytest.approx(0.0, abs=1e-9)
+    assert len(got) == 14  # every node present, unreached filled with 0
+
+
+def test_node_importance_large_graph_uses_sampled_path(spark):
+    """Forcing max_betweenness_nodes below the node count must route
+    node_importance onto the distributed sampled-Brandes path and still
+    return the full scored node set — no raise (VERDICT r02 item 6)."""
+    from kgspark.pipeline.analytics import node_importance
+
+    triples = spark.createDataFrame(
+        [("s%d" % i, "links", "s%d" % (i + 1)) for i in range(10)],
+        "subject string, predicate string, object string")
+    out = node_importance(triples, max_betweenness_nodes=3,
+                          btw_k_sources=100).collect()
+    assert len(out) == 11
+    scores = {r.node: r.importance for r in out}
+    # middle of the path outranks the endpoints
+    assert scores["s5"] > scores["s0"]
+    sizes = {r.node: r.size for r in out}
+    assert all(10.0 <= s <= 30.0 + 1e-9 for s in sizes.values())
+
+
 def test_label_propagation_splits_bridged_cliques(spark):
     """A-16 stand-in: two 5-cliques joined by a single bridge are ONE
     connected component but TWO label-propagation communities —
@@ -146,6 +218,54 @@ def test_star_cc_equals_minlabel_cc(spark):
     got = {(r.node, r.component)
            for r in connected_components_star(df).collect()}
     assert got == want
+
+
+def test_cc_materialize_persist_identical(spark, edges_df):
+    """Cluster-safe barrier mode: materialize='persist' (recomputable
+    lineage, survives executor loss) must produce the exact same
+    component assignment as the localCheckpoint default (VERDICT r02
+    item 2)."""
+    from kgspark.pipeline.graph import connected_components_star
+
+    base = {(r.node, r.component)
+            for r in connected_components(edges_df).collect()}
+    for algo in (connected_components, connected_components_star):
+        got = {(r.node, r.component)
+               for r in algo(edges_df, materialize="persist").collect()}
+        assert got == base, algo.__name__
+
+
+def test_eig_lpa_materialize_persist_identical(spark, edges_df):
+    got_lc = {r.node: r.centrality for r in eigenvector_centrality(
+        edges_df, max_iter=30, tol=None).collect()}
+    got_p = {r.node: r.centrality for r in eigenvector_centrality(
+        edges_df, max_iter=30, tol=None, materialize="persist").collect()}
+    assert got_p == pytest.approx(got_lc)
+
+    from kgspark.pipeline.graph import label_propagation
+    lab_lc = {r.node: r.label
+              for r in label_propagation(edges_df, max_iter=4).collect()}
+    lab_p = {r.node: r.label
+             for r in label_propagation(
+                 edges_df, max_iter=4, materialize="persist").collect()}
+    assert lab_p == lab_lc
+
+
+def test_star_cc_fallback_on_nonconvergence(spark):
+    """With max_iter too small to finish contracting a long path, the
+    star edge set is NOT well-formed; the well-formedness gate must
+    detect it and fall back to min-label CC instead of silently
+    returning conflicting labels (ADVICE r02 graph.py:91)."""
+    from kgspark.pipeline.graph import connected_components_star
+
+    edges = [(f"p{i:02d}", f"p{i+1:02d}") for i in range(40)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.node, r.component)
+           for r in connected_components_star(df, max_iter=1).collect()}
+    want = {(f"p{i:02d}", "p00") for i in range(41)}
+    assert got == want
+    # one (node, component) row per node — no conflicting labels
+    assert len({n for n, _ in got}) == len(got)
 
 
 def test_node_importance_matches_reference_formula(spark):

@@ -146,6 +146,37 @@ class TestT2S:
         assert t2s_convert("") == ""
         assert t2s_convert("already simplified 推动") == "already simplified 推动"
 
+    def test_t2s_extended_beyond_lexicon(self):
+        """Round-3 production table (kernels/t2s_table.py): characters far
+        outside the engine lexicon + fixture vocabulary convert too."""
+        from kgspark.kernels.textproc import t2s_convert
+        assert t2s_convert("銀行提出購買計劃。") == "银行提出购买计划。"
+        assert t2s_convert("馬匹與魚類") == "马匹与鱼类"
+        assert t2s_convert("鐵路橋樑連接兩岸") == "铁路桥梁连接两岸"
+
+    def test_traditional_pipeline_beyond_lexicon_equals_simplified(self, spark):
+        """A Traditional paragraph whose vocabulary lies OUTSIDE the
+        round-2 engine-lexicon table must still yield the same triples as
+        its Simplified twin (VERDICT r02 item 5)."""
+        from kgspark.config import KgConfig
+        from kgspark.pipeline import ingest
+        from kgspark.pipeline.runner import build_triples
+
+        trad = "銀行提出購買計劃。政府支持銀行擴大貸款規模。"
+        simp = "银行提出购买计划。政府支持银行扩大贷款规模。"
+
+        def pages(text):
+            return spark.createDataFrame(
+                [("u", None, None, text, "zh")], schema=ingest.PAGES_SCHEMA)
+
+        a = build_triples(pages(trad), KgConfig(t2s_enabled=True),
+                          from_html=False, materialize=False)
+        b = build_triples(pages(simp), KgConfig(),
+                          from_html=False, materialize=False)
+        sa = {(r.subject, r.predicate, r.object) for r in a.collect()}
+        sb = {(r.subject, r.predicate, r.object) for r in b.collect()}
+        assert sa == sb and sa
+
     def test_traditional_pipeline_equals_simplified(self, spark):
         from kgspark.config import KgConfig
         from kgspark.pipeline import ingest

@@ -126,6 +126,42 @@ def test_failed_group_leaves_failure_manifest_and_resumes(
     assert _spo_set(_read_triples(spark, out)) == _spo_set(_read_triples(spark, clean))
 
 
+def test_zero_output_bucket_clears_stale_partitions(
+    spark, tmp_path, pages_path, monkeypatch
+):
+    """ADVICE r02: dynamic partition overwrite only rewrites partitions
+    present in the new output, so a reprocessed bucket that now yields
+    zero triples must have its old triples/mention_partials/edge_partials
+    partitions explicitly cleared — no phantom rows may survive."""
+    from kgspark.pipeline import runner
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, pages_path, out, CFG)
+    t1 = _read_triples(spark, out)
+    b0 = int(t1.groupBy("bucket").count().orderBy("bucket").first()["bucket"])
+    assert os.path.exists(os.path.join(out, "triples", f"bucket={b0}"))
+
+    real_build = runner.build_triples
+
+    def drop_bucket(pages, cfg, **kw):
+        t = real_build(pages, cfg, **kw)
+        return t.filter(
+            F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int") != b0)
+
+    monkeypatch.setattr(runner, "build_triples", drop_bucket)
+    r = run_pipeline(spark, pages_path, out, CFG, force=True)
+    assert r["failed_buckets"] == 0
+
+    for name in ("triples", "mention_partials", "edge_partials"):
+        assert not os.path.exists(os.path.join(out, name, f"bucket={b0}")), name
+    t2 = _read_triples(spark, out)
+    assert t2.filter(F.col("bucket") == b0).count() == 0
+    # the bucket still completed (success manifest with rows_out=0)
+    m = spark.read.parquet(os.path.join(out, "manifests"))
+    last = m.filter((F.col("run_id") == r["run_id"]) & (F.col("bucket") == b0))
+    assert last.count() == 1 and last.first()["rows_out"] == 0
+
+
 def test_entities_edges_tables(spark, tmp_path, pages_path):
     from kgspark.pipeline.runner import edges_table, entities_table
 
