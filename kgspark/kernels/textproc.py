@@ -34,10 +34,26 @@ _SENT_RULES = (
 )
 
 
+_ENDER_SEARCH = re.compile("[。!?！？]")
+
+
 def split_sentences(text: str) -> list[str]:
-    """Split text into sentences (reference text_utils.py:6-16)."""
-    for pat, repl in _SENT_RULES:
-        text = pat.sub(repl, text)
+    """Split text into sentences (reference text_utils.py:6-16).
+
+    The guards only skip rules that cannot match (rules 1/4 need a
+    sentence ender, rules 2/3 need a "..." run), so output stays
+    byte-identical to applying all four rules unconditionally — a no-op
+    ``re.sub`` is identity but not free in the phase-1 hot loop."""
+    r1, r6, r3, rq = _SENT_RULES
+    if _ENDER_SEARCH.search(text):
+        text = r1[0].sub(r1[1], text)
+        if "..." in text:
+            text = r6[0].sub(r6[1], text)
+            text = r3[0].sub(r3[1], text)
+        text = rq[0].sub(rq[1], text)
+    elif "..." in text:
+        text = r6[0].sub(r6[1], text)
+        text = r3[0].sub(r3[1], text)
     return [s for s in (part.strip() for part in text.split("\n")) if s]
 
 

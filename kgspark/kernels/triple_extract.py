@@ -16,6 +16,7 @@ reruns and parallelism levels.
 
 from __future__ import annotations
 
+import functools
 import re
 
 from kgspark.kernels.textproc import split_sentences
@@ -84,6 +85,16 @@ _ZH_CLAUSE_SPLIT = re.compile(r"[，、；：,;:]")
 _CJK_RE = re.compile(r"[一-鿿]")
 _EDGE_PUNCT = ".,;:!?。！？\"'()（）【】[]"
 _ZH_LEAD_TRIM = re.compile(r"^(的|了|在|将|会|并|和|与|也|都|及)+")
+_ZH_LEAD_CHARS = "的了在将会并和与也都及"
+
+
+def _zh_lead_trim(s: str) -> str:
+    """`_ZH_LEAD_TRIM.sub("", s)` with a first-char guard — the regex can
+    only match when the string starts with a trim char, and most phrases
+    don't (hot-loop micro-cost, byte-identical output)."""
+    if s and s[0] in _ZH_LEAD_CHARS:
+        return _ZH_LEAD_TRIM.sub("", s)
+    return s
 
 MAX_TRIPLES_PER_SENTENCE = 5
 MAX_PHRASE_WORDS = 4
@@ -124,7 +135,23 @@ def _object_phrase(words: list[str]) -> tuple[str, int]:
     return " ".join(out), consumed
 
 
+@functools.lru_cache(maxsize=8)
+def _relation_index(relations: tuple[str, ...]) -> dict[str, list[tuple[list[str], str]]]:
+    """First-word index over the relation lexicon: a phrase can only match
+    at position ``i`` when its first word equals ``lowered[i]``, so the
+    per-position scan collapses from |lexicon| splits+compares to a dict
+    probe (the phase-1 hot loop — ~260 redundant ``str.split`` calls per
+    sentence before this).  Bucket order preserves lexicon order, so the
+    strict longest-match / first-wins tie-break is unchanged."""
+    idx: dict[str, list[tuple[list[str], str]]] = {}
+    for rel in relations:
+        rw = rel.split()
+        idx.setdefault(rw[0], []).append((rw, rel))
+    return idx
+
+
 def _extract_en(sentence: str, relations: tuple[str, ...]) -> list[dict]:
+    rel_idx = _relation_index(relations)
     triples: list[dict] = []
     for clause in _EN_CLAUSE_SPLIT.split(sentence):
         words = clause.split()
@@ -135,8 +162,7 @@ def _extract_en(sentence: str, relations: tuple[str, ...]) -> list[dict]:
         while i < len(words) and len(triples) < MAX_TRIPLES_PER_SENTENCE:
             match_len = 0
             match_rel = None
-            for rel in relations:
-                rw = rel.split()
+            for rw, rel in rel_idx.get(lowered[i], ()):
                 if len(rw) > match_len and lowered[i : i + len(rw)] == rw:
                     match_len = len(rw)
                     match_rel = rel
@@ -171,8 +197,8 @@ def _extract_zh(sentence: str, relations: tuple[str, ...]) -> list[dict]:
         if best is None:
             continue
         pos, neg_len, rel = best
-        subj = _ZH_LEAD_TRIM.sub("", clause[:pos].strip())
-        obj = _ZH_LEAD_TRIM.sub("", clause[pos + len(rel):].strip())
+        subj = _zh_lead_trim(clause[:pos].strip())
+        obj = _zh_lead_trim(clause[pos + len(rel):].strip())
         subj = subj.strip(_EDGE_PUNCT)
         obj = obj.strip(_EDGE_PUNCT)
         if subj and obj and subj != obj:

@@ -426,6 +426,230 @@ def label_propagation(
     return labels
 
 
+def louvain(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_levels: int = 4,
+    max_rounds: int = 12,
+    checkpoint_every: int = 3,
+    materialize: str = "localCheckpoint",
+) -> DataFrame:
+    """Deterministic distributed Louvain community detection — the exact
+    modularity-optimizing counterpart of ``label_propagation`` for the
+    reference's ``community.best_partition`` call (visualization.py:190-191,
+    viz-only).  Two classic phases per level (Blondel et al. 2008):
+
+      1. **Local moves**: every node considers its neighbors' communities
+         and moves to the one with the best modularity gain.  The
+         sequential algorithm is visit-order dependent; here moves are
+         SYNCHRONOUS but parity-gated — on round ``t`` only nodes with
+         ``pmod(xxhash64(node)+t, 2) == 0`` may move — which makes the
+         result order-free and prevents the two-community label-swap
+         oscillation synchronous updates are prone to.  A node moves only
+         on a STRICTLY positive gain vs staying (ties keep the current
+         community), so each allowed move increases modularity and the
+         phase terminates.
+      2. **Contraction**: communities collapse to supernodes (edge
+         weights summed, intra-community weight becomes a self-loop) and
+         phase 1 reruns on the condensed graph, until a level makes no
+         move or ``max_levels`` is hit.
+
+    Gain comparison uses exact integer arithmetic in decimal(38,0) —
+    ``2m·k_{i,c} - k_i·Σ'_tot(c)`` — never floats, so results are
+    bit-stable across partitionings and runs (float partial-sum order
+    would not be).  Community ids are relabeled to their minimum member
+    node id after every level, keeping labels stable and comparable.
+
+    Scale shape per move round: one hash join (neighbor communities) +
+    two aggregations on (node, community) + one on community — all
+    key-partitioned shuffles, AQE/skew safe; per level one contraction
+    join.  Total jobs O(levels · rounds), each O(|E|) shuffle.
+
+    Returns (node, community) for every endpoint of ``edges``."""
+    DEC = "decimal(38,0)"
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    # symmetric simple weighted graph, w=1 per undirected neighbor pair
+    # (parallel edges collapse — the reference runs on an nx.Graph too)
+    und = (
+        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .withColumn("w", F.lit(1).cast("long"))
+        .persist()
+    )
+    loops = und.select(F.col("a").alias("node"), "w").limit(0)
+    assign: DataFrame | None = None  # original node -> current supernode
+
+    for level in range(max_levels):
+        deg = (
+            und.groupBy(F.col("a").alias("node"))
+            .agg(F.sum("w").alias("_kin"))
+            .join(loops.select("node", (2 * F.col("w")).alias("_lw")), "node", "left")
+            .select("node", (F.col("_kin") + F.coalesce("_lw", F.lit(0))).alias("k"))
+            .persist()
+        )
+        two_m = deg.agg(F.sum("k")).collect()[0][0] or 0
+        if two_m == 0:
+            deg.unpersist()
+            break
+        comm = deg.select("node").withColumn("community", F.col("node")).persist()
+        moved_in_level = False
+        idle_rounds = 0
+        for it in range(max_rounds):
+            # w(i -> community c) over i's neighbors, plus a zero row for
+            # i's OWN community so staying is always a scored candidate
+            k_ac = (
+                und.join(
+                    comm.select(F.col("node").alias("b"), F.col("community").alias("cb")),
+                    "b",
+                )
+                .select(F.col("a").alias("node"), "cb", "w")
+                .unionByName(
+                    comm.select("node", F.col("community").alias("cb"),
+                                F.lit(0).cast("long").alias("w"))
+                )
+                .groupBy("node", "cb")
+                .agg(F.sum("w").alias("k_ic"))
+            )
+            sig = (
+                comm.join(deg, "node")
+                .groupBy(F.col("community").alias("cb"))
+                .agg(F.sum("k").alias("tot"), F.count("*").alias("csize"))
+            )
+            own_sz = sig.select(F.col("cb").alias("community"),
+                                F.col("csize").alias("own_csize"))
+            # exact-integer gain of landing in cb (own community scored
+            # with i removed): 2m*k_ic - k_i*(tot(cb) - [cb==own]*k_i).
+            # Singleton-swap symmetry breaker (the one oscillation parity
+            # gating cannot stop): two adjacent singleton communities both
+            # prefer each other's label and would swap forever, so a
+            # singleton may only move into another singleton with a
+            # SMALLER label — deterministic, and the blocked side joins
+            # the mover's community next round.
+            cand = (
+                k_ac.join(sig, "cb")
+                .join(comm, "node")
+                .join(deg, "node")
+                .join(own_sz, "community")
+                .filter(
+                    (F.col("cb") == F.col("community"))
+                    | ~(
+                        (F.col("own_csize") == 1)
+                        & (F.col("csize") == 1)
+                        & (F.col("cb") > F.col("community"))
+                    )
+                )
+                .withColumn(
+                    "score",
+                    F.lit(int(two_m)).cast(DEC) * F.col("k_ic").cast(DEC)
+                    - F.col("k").cast(DEC)
+                    * (
+                        F.col("tot")
+                        - F.when(F.col("cb") == F.col("community"), F.col("k")).otherwise(F.lit(0))
+                    ).cast(DEC),
+                )
+            )
+            scored = cand.groupBy("node", "community").agg(
+                F.min_by(
+                    "cb",
+                    F.struct((-F.col("score")).alias("ns"), F.col("cb").alias("c")),
+                ).alias("best_cb"),
+                F.max("score").alias("best_score"),
+                F.max(
+                    F.when(F.col("cb") == F.col("community"), F.col("score"))
+                ).alias("own_score"),
+            )
+            gate = F.pmod(F.xxhash64("node") + F.lit(it), F.lit(2)) == 0
+            new_comm = scored.select(
+                "node",
+                F.when(gate & (F.col("best_score") > F.col("own_score")), F.col("best_cb"))
+                .otherwise(F.col("community"))
+                .alias("community"),
+                (gate & (F.col("best_score") > F.col("own_score"))).alias("_moved"),
+            )
+            if (it + 1) % checkpoint_every == 0:
+                new_comm = _lineage_cut(new_comm, materialize)
+            new_comm = new_comm.persist()
+            n_moved = new_comm.filter("_moved").count()
+            new_comm = new_comm.drop("_moved")
+            comm.unpersist()
+            comm = new_comm
+            if n_moved > 0:
+                moved_in_level = True
+                idle_rounds = 0
+            else:
+                idle_rounds += 1
+                if idle_rounds >= 2:  # both parities idle -> converged
+                    break
+        # stable labels: community := min member supernode id
+        relab = comm.groupBy("community").agg(F.min("node").alias("clabel"))
+        comm2 = (
+            comm.join(relab, "community")
+            .select("node", F.col("clabel").alias("community"))
+            .persist()
+        )
+        comm2.count()
+        comm.unpersist()
+        if assign is None:
+            assign = comm2.select(F.col("node").alias("orig"), "community")
+        else:
+            assign = (
+                assign.join(
+                    comm2.select(F.col("node").alias("community"),
+                                 F.col("community").alias("_nc")),
+                    "community",
+                )
+                .select("orig", F.col("_nc").alias("community"))
+            )
+        assign = _lineage_cut(assign, materialize).persist()
+        assign.count()
+        if not moved_in_level:
+            comm2.unpersist()
+            deg.unpersist()
+            break
+        # contract: supernode graph with summed weights + internal
+        # self-loop mass (each undirected pair appears twice in und)
+        ca = comm2.select(F.col("node").alias("a"), F.col("community").alias("_c2a"))
+        cb = comm2.select(F.col("node").alias("b"), F.col("community").alias("_c2b"))
+        e2 = und.join(ca, "a").join(cb, "b").select(
+            F.col("_c2a").alias("na"), F.col("_c2b").alias("nb"), "w")
+        new_und = (
+            e2.filter(F.col("na") != F.col("nb"))
+            .groupBy(F.col("na").alias("a"), F.col("nb").alias("b"))
+            .agg(F.sum("w").alias("w"))
+        )
+        internal = (
+            e2.filter(F.col("na") == F.col("nb"))
+            .groupBy(F.col("na").alias("node"))
+            .agg((F.sum("w") / 2).cast("long").alias("w"))
+        )
+        carried = (
+            loops.join(comm2, "node")
+            .groupBy(F.col("community").alias("node"))
+            .agg(F.sum("w").alias("w"))
+        )
+        new_loops = (
+            internal.unionByName(carried)
+            .groupBy("node")
+            .agg(F.sum("w").alias("w"))
+        )
+        new_und = _lineage_cut(new_und, materialize).persist()
+        new_loops = _lineage_cut(new_loops, materialize).persist()
+        new_und.count()
+        und.unpersist()
+        und = new_und
+        loops = new_loops
+        comm2.unpersist()
+        deg.unpersist()
+    und.unpersist()
+    if assign is None:
+        return edges.sparkSession.createDataFrame([], "node string, community string")
+    return assign.select(F.col("orig").alias("node"), "community")
+
+
 def betweenness_centrality_sampled(
     edges: DataFrame,
     src: str = "src",

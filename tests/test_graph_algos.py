@@ -302,3 +302,74 @@ def test_node_importance_matches_reference_formula(spark):
             + 0.2 * x[n] / max(me, 1e-12)
         assert abs(got[n][0] - round(imp, 6)) <= 1e-6
         assert abs(got[n][1] - round(10 + 20 * imp, 4)) <= 1e-3
+
+
+def _modularity(edges, part):
+    """Pure-python Newman modularity of an unweighted simple undirected
+    graph (the quantity python-louvain maximizes in the reference's
+    visualization.py:190-191)."""
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    deg: dict = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    m2 = sum(deg.values())
+    q = sum(1.0 for a, b in und if part[a] == part[b])
+    q -= sum(
+        deg[a] * deg[b] / m2
+        for a in deg for b in deg if part[a] == part[b]
+    )
+    return q / m2
+
+
+def test_louvain_splits_bridged_cliques(spark):
+    """A-16 exact: deterministic distributed Louvain recovers the two
+    5-cliques as two communities (one connected component), labels are
+    min-member-stable, and reruns are bit-identical."""
+    from kgspark.pipeline.graph import louvain
+
+    a = [f"a{i}" for i in range(1, 6)]
+    b = [f"b{i}" for i in range(1, 6)]
+    edges = [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+    edges += [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+    edges.append(("a1", "b1"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    part = {r.node: r.community for r in louvain(df).collect()}
+    assert {part[x] for x in a} == {"a1"}
+    assert {part[x] for x in b} == {"b1"}
+
+    again = {r.node: r.community for r in louvain(df).collect()}
+    assert part == again
+
+
+def test_louvain_modularity_on_clique_ring(spark):
+    """Ring of 4 triangles (each pair of adjacent triangles bridged by
+    one edge): Louvain must recover the 4 triangles as communities —
+    the globally modularity-optimal partition — and beat the trivial
+    partitions by the pure-python modularity measure."""
+    from kgspark.pipeline.graph import louvain
+
+    edges = []
+    for t in range(4):
+        n = [f"t{t}n{i}" for i in range(3)]
+        edges += [(n[0], n[1]), (n[1], n[2]), (n[0], n[2])]
+    for t in range(4):  # bridge corner 0 of each triangle to the next
+        edges.append((f"t{t}n0", f"t{(t + 1) % 4}n0"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    part = {r.node: r.community for r in louvain(df).collect()}
+    for t in range(4):
+        labs = {part[f"t{t}n{i}"] for i in range(3)}
+        assert len(labs) == 1, (t, labs)
+    assert len(set(part.values())) == 4
+
+    q = _modularity(edges, part)
+    one = {n: 0 for n in part}
+    singles = {n: n for n in part}
+    assert q > _modularity(edges, one)
+    assert q > _modularity(edges, singles)
+    assert q > 0.4  # known optimum ~0.5 for this ring

@@ -214,3 +214,51 @@ def test_with_header_prepends_into_chunk1(spark):
     assert chunks[0].chunk_id == 1
     assert chunks[0].chunk_text.startswith("Report EN")
     assert "The body supports testing." in chunks[0].chunk_text
+
+
+class TestHotPathFastGuards:
+    """The phase-1 kernel fast paths (first-word relation index, sentence
+    -split rule guards, zh lead-trim guard) must be BYTE-IDENTICAL to the
+    unguarded formulations — they only skip work that provably cannot
+    match."""
+
+    def test_split_sentences_parity_random(self):
+        from kgspark.kernels.textproc import _SENT_RULES
+
+        def unguarded(text):
+            for pat, repl in _SENT_RULES:
+                text = pat.sub(repl, text)
+            return [s for s in (p.strip() for p in text.split("\n")) if s]
+
+        rng = random.Random(7)
+        alphabet = list("abc 。!?！？.\"'，…\n") + ["...", "......", "。\"", "！'"]
+        cases = ["", "no enders", "....", "......x", "a。b", 'a。"b',
+                 "。。。", "！？", 'end."...', "'。'a", "x...y......z。!？'q"]
+        cases += ["".join(rng.choice(alphabet)
+                          for _ in range(rng.randint(1, 30)))
+                  for _ in range(2000)]
+        for c in cases:
+            assert split_sentences(c) == unguarded(c), repr(c)
+
+    def test_zh_lead_trim_parity_random(self):
+        from kgspark.kernels.triple_extract import _ZH_LEAD_TRIM, _zh_lead_trim
+
+        rng = random.Random(11)
+        alpha = list("的了在将会并和与也都及政策发展中国经济x y")
+        cases = ["", "的了政策", "政策的", "都及", "x的"]
+        cases += ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+                  for _ in range(1000)]
+        for c in cases:
+            assert _zh_lead_trim(c) == _ZH_LEAD_TRIM.sub("", c), repr(c)
+
+    def test_relation_index_longest_match_first_wins(self):
+        """The index must preserve the lexicon's longest-match /
+        first-wins semantics: 'is a type of' beats 'is a' at the same
+        position, and lexicon ORDER breaks length ties."""
+        got = extract_triples("Steam power is a type of energy.")
+        assert got[0]["predicate"] == "is a type of"
+        # same-length tie: first lexicon entry wins
+        rels = ("leads to", "leads on")
+        from kgspark.kernels.triple_extract import _extract_en
+        t = _extract_en("Coal leads to growth.", rels)
+        assert t[0]["predicate"] == "leads to"
