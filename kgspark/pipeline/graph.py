@@ -593,6 +593,7 @@ def louvain(
         )
         comm2.count()
         comm.unpersist()
+        prev_assign = assign
         if assign is None:
             assign = comm2.select(F.col("node").alias("orig"), "community")
         else:
@@ -606,6 +607,8 @@ def louvain(
             )
         assign = _lineage_cut(assign, materialize).persist()
         assign.count()
+        if prev_assign is not None:
+            prev_assign.unpersist()
         if not moved_in_level:
             comm2.unpersist()
             deg.unpersist()

@@ -47,13 +47,16 @@ def main():
     datagen.write_pages(spark, pages_path, n_pages, seed=42, partitions=64)
     spark.stop()
 
-    # data-sized shuffle partitions, IDENTICAL at both parallelism levels
-    # (= corpus partition count): a cluster sizes partitions to the data,
-    # and per-cpu-count partitioning pollutes the low-N side with
-    # giant-partition sort spills (measured +20% at 2 cores / 300k pages)
+    # ONE fixed configuration, IDENTICAL at both parallelism levels:
+    # data-sized shuffle AND input partitions (= corpus partition count).
+    # A cluster sizes partitions to the data, and per-cpu-count
+    # partitioning both spills at low N (giant-partition sorts, measured
+    # +20% at 2 cores / 300k pages) and is per-level tuning the north
+    # rule's fixed-job reading disallows.
     os.environ.setdefault("KGSPARK_SHUFFLE_PARTITIONS", "64")
+    os.environ.setdefault("KGSPARK_INPUT_PARTITIONS", "64")
     results = {}
-    trials = int(os.environ.get("KGSPARK_SCALE_TRIALS", "2"))
+    trials = int(os.environ.get("KGSPARK_SCALE_TRIALS", "3"))
     for cpus in (n_lo, n_hi):
         best = None
         for _ in range(trials):
