@@ -12,6 +12,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def standard_conf(shuffle_partitions: int) -> dict[str, str]:
+    """The engine's standard SQL/exec configuration, master-agnostic —
+    shared by ``get_session`` (which also sets a master) and the
+    spark-submit entry point ``kgspark.run`` (which must NOT set one:
+    spark-submit owns the master/deploy-mode on a real cluster)."""
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.default.parallelism": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # url-prefixed phase-2/3 keys: accept children co-partitioned on a
+        # subset of the join keys (url) so one upfront repartition(url)
+        # serves every downstream join without re-shuffling
+        "spark.sql.requireAllClusterKeysForCoPartition": "false",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }
+
+
 def get_session(
     master: str | None = None,
     app_name: str = "kgspark",
@@ -28,23 +48,12 @@ def get_session(
             shuffle_partitions = int(master[6:-1])
         else:
             shuffle_partitions = os.cpu_count() or 8
-    b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # url-prefixed phase-2/3 keys: accept children co-partitioned on a
-        # subset of the join keys (url) so one upfront repartition(url)
-        # serves every downstream join without re-shuffling
-        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", driver_memory or os.environ.get("KGSPARK_DRIVER_MEM", "8g"))
-    )
+    b = SparkSession.builder.master(master).appName(app_name)
+    for k, v in standard_conf(shuffle_partitions).items():
+        b = b.config(k, v)
+    b = b.config("spark.ui.enabled", "false").config(
+        "spark.driver.memory",
+        driver_memory or os.environ.get("KGSPARK_DRIVER_MEM", "8g"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
