@@ -44,6 +44,8 @@ def canon(rows, cols):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir) and os.path.isdir(os.path.join("/root/testdata", sf_dir)):
+        sf_dir = os.path.join("/root/testdata", sf_dir)  # allow bare "sf0.01"
     only = set(sys.argv[2:])
 
     from kgspark.querybank import QUERIES
