@@ -710,7 +710,11 @@ def betweenness_centrality_sampled(
         return spark.createDataFrame([], "node string, btw double")
 
     deg = und.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))
-    sources = F.broadcast(
+    # No static broadcast hint here: the sources subtree also feeds unions
+    # and aggregates (where a join hint is dropped with a warning), and the
+    # frontier frames derived from it GROW level by level — AQE picks
+    # broadcast for the genuinely small sides from runtime stats instead.
+    sources = (
         deg.orderBy(F.col("degree").desc(), F.col("node"))
         .limit(min(k_sources, n))
         .select(F.col("node").alias("source"))

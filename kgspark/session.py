@@ -29,6 +29,12 @@ def standard_conf(shuffle_partitions: int) -> dict[str, str]:
         "spark.sql.requireAllClusterKeysForCoPartition": "false",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        # Long-lived drivers (test suites, multi-batch services) accumulate
+        # localCheckpoint/persist/broadcast blocks that ContextCleaner only
+        # frees after a driver GC; the 30min default lets a busy JVM OOM
+        # before the first sweep.  10min keeps steady-state storage bounded
+        # at negligible cost (one System.gc per interval).
+        "spark.cleaner.periodicGC.interval": "10min",
     }
 
 

@@ -19,8 +19,15 @@ TRIPLE_SCHEMA = T.StructType(
 
 @pytest.fixture(scope="session")
 def spark():
+    # 12g + 2min cleaner GC: the suite shares ONE JVM across ~110 tests,
+    # several of which run iterative graph jobs whose localCheckpoint /
+    # persist blocks are freed only on a ContextCleaner sweep — with 4g and
+    # the 30min default interval the heap deterministically OOMs about
+    # 20 minutes in (first casualty: sampled betweenness after the dedupe/
+    # graph modules).
     s = get_session(master="local[4]", app_name="kgspark-tests",
-                    shuffle_partitions=4, driver_memory="4g")
+                    shuffle_partitions=4, driver_memory="12g",
+                    extra_conf={"spark.cleaner.periodicGC.interval": "2min"})
     yield s
     s.stop()
 

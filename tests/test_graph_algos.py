@@ -154,15 +154,18 @@ def test_node_importance_large_graph_uses_sampled_path(spark):
     return the full scored node set — no raise (VERDICT r02 item 6)."""
     from kgspark.pipeline.analytics import node_importance
 
+    # a 7-node path: enough depth to exercise the multi-level BFS forward
+    # and backward passes while keeping the per-level Spark-job count (the
+    # dominant cost of iterative loops on tiny graphs) suite-friendly
     triples = spark.createDataFrame(
-        [("s%d" % i, "links", "s%d" % (i + 1)) for i in range(10)],
+        [("s%d" % i, "links", "s%d" % (i + 1)) for i in range(6)],
         "subject string, predicate string, object string")
     out = node_importance(triples, max_betweenness_nodes=3,
                           btw_k_sources=100).collect()
-    assert len(out) == 11
+    assert len(out) == 7
     scores = {r.node: r.importance for r in out}
     # middle of the path outranks the endpoints
-    assert scores["s5"] > scores["s0"]
+    assert scores["s3"] > scores["s0"]
     sizes = {r.node: r.size for r in out}
     assert all(10.0 <= s <= 30.0 + 1e-9 for s in sizes.values())
 

@@ -119,7 +119,7 @@ def test_eigenvector_matches_nx(spark, web_df, web_g):
     got = {
         r.node: r.centrality
         for r in eigenvector_centrality(
-            web_df, max_iter=150, tol=1e-10, checkpoint_every=10
+            web_df, max_iter=120, tol=1e-9, checkpoint_every=10
         ).collect()
     }
     assert set(got) == set(want)
