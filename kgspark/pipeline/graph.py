@@ -250,6 +250,7 @@ def eigenvector_centrality(
     checkpoint_every: int = 5,
     raise_on_no_convergence: bool = False,
     materialize: str = "localCheckpoint",
+    tol_check_every: int = 2,
 ) -> DataFrame:
     """Eigenvector centrality by power iteration over the undirected
     simple graph — iterative join-agg (the PageRank skeleton), reference
@@ -259,7 +260,13 @@ def eigenvector_centrality(
     Convergence is the networkx rule — L1 delta of the iterate,
     ``sum(|x_new - x_old|) < n * tol`` — not a norm-estimate comparison,
     which oscillating bipartite/periodic iterates can fool (two distinct
-    vectors with equal norms).  ``tol=None`` runs exactly ``max_iter``
+    vectors with equal norms).  The delta test runs every
+    ``tol_check_every`` iterations (batched like connected_components'
+    convergence checks): each skipped check saves one driver-synchronous
+    job per iteration — on a real cluster a full scheduling round-trip —
+    and batching can only ever run EXTRA iterations past convergence,
+    never stop short, so the returned iterate is at least as converged.
+    ``tol=None`` runs exactly ``max_iter``
     iterations (deterministic, SQL-replayable — the oracle mode).
     ``raise_on_no_convergence`` surfaces hitting max_iter without
     converging, like networkx's PowerIterationFailedConvergence.
@@ -291,7 +298,7 @@ def eigenvector_centrality(
         if (it + 1) % checkpoint_every == 0:
             new_x = _lineage_cut(new_x, materialize)
         new_x = new_x.persist()
-        if tol is not None:
+        if tol is not None and (it + 1) % tol_check_every == 0:
             delta = (
                 new_x.withColumnRenamed("score", "s_new")
                 .join(x, "node")
