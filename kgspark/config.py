@@ -46,6 +46,12 @@ class KgConfig:
     lsh_num_hashes: int = 24
     lsh_bands: int = 8
     lsh_jaccard_threshold: float = 0.6
+    # candidate verification: "jaccard" (exact token-set Jaccard) or
+    # "tfidf" (corpus-IDF-weighted cosine — the north rule's named
+    # alternative; downweights boilerplate tokens shared by many
+    # entity names, e.g. "ltd"/"committee")
+    lsh_verify: str = "jaccard"
+    lsh_tfidf_threshold: float = 0.6
 
     @staticmethod
     def from_toml(path: str) -> "KgConfig":
@@ -72,4 +78,6 @@ class KgConfig:
             lsh_num_hashes=int(scale.get("lsh_num_hashes", 24)),
             lsh_bands=int(scale.get("lsh_bands", 8)),
             lsh_jaccard_threshold=float(scale.get("lsh_jaccard_threshold", 0.6)),
+            lsh_verify=str(scale.get("lsh_verify", "jaccard")),
+            lsh_tfidf_threshold=float(scale.get("lsh_tfidf_threshold", 0.6)),
         )

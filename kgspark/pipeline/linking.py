@@ -13,7 +13,10 @@ Design (all JVM-side, no Python):
   3. band the signature; bucket id = hash of the band slice
   4. equi-join on (band, bucket) → candidate pairs (skew-bounded: bucket
      sizes are capped by banding; AQE skew-join handles residual hotspots)
-  5. exact verify: token-set Jaccard ≥ threshold
+  5. exact verify: token-set Jaccard ≥ threshold (default), or
+     corpus-IDF-weighted cosine (``lsh_verify = "tfidf"``) — the north
+     rule's "TF-IDF" variant; shared boilerplate tokens get low idf
+     weight instead of gluing unrelated names
   6. connected components over accepted pairs → canonical representative
      per component picked by (max frequency, min length, lexical) — the
      same rule as phase-2's O-14 pick.
@@ -100,6 +103,64 @@ def verify_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def entity_idf(ents: DataFrame, entity_col: str = "entity") -> DataFrame:
+    """(tok, idf) over the DISTINCT entity vocabulary: smoothed
+    idf = ln((N+1)/(df+1)) + 1.  One exploded groupBy — the document
+    frequency table is tiny relative to the corpus (bounded by the
+    token vocabulary) and broadcastable downstream."""
+    toks = ents.select(
+        F.explode(_tokens(F.col(entity_col))).alias("tok"), F.col(entity_col)
+    ).distinct()
+    n = ents.select(entity_col).distinct().count()
+    return toks.groupBy("tok").agg(
+        (F.log((F.lit(float(n + 1))) / (F.count("*") + 1)) + 1.0).alias("idf")
+    )
+
+
+def verify_tfidf_cosine(pairs: DataFrame, ents: DataFrame, threshold: float,
+                        entity_col: str = "entity") -> DataFrame:
+    """IDF-weighted cosine on candidate pairs (set semantics: names are
+    short, so tf is 0/1) — the north rule's "TF-IDF" verification.
+
+    sim(e1, e2) = Σ_{t ∈ T1∩T2} idf(t)² / (‖w1‖ · ‖w2‖)
+
+    Unlike raw Jaccard, tokens shared by many entity names ("ltd",
+    "committee", char-grams of common suffixes) carry low idf and stop
+    gluing unrelated names together.  Plan shape: one exploded
+    groupBy builds a per-entity (tok → idf) map + L2 norm, the feature
+    table joins onto each side of the (already banded) candidate pairs,
+    and the intersection weight is a vectorized higher-order
+    ``aggregate`` over ``map_keys`` — no Python, no extra self-join."""
+    idf = entity_idf(ents, entity_col)
+    feats = (
+        ents.select(F.col(entity_col).alias("_e"))
+        .distinct()
+        .select("_e", F.explode(_tokens(F.col("_e"))).alias("tok"))
+        .join(idf, "tok")
+        .groupBy("_e")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("tok", "idf"))).alias("w"),
+            F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("norm"),
+        )
+    )
+    f1 = feats.select(F.col("_e").alias("_e1"), F.col("w").alias("w1"),
+                      F.col("norm").alias("n1"))
+    f2 = feats.select(F.col("_e").alias("_e2"), F.col("w").alias("w2"),
+                      F.col("norm").alias("n2"))
+    inter = F.aggregate(
+        F.array_intersect(F.map_keys("w1"), F.map_keys("w2")),
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at("w1", t) * F.element_at("w2", t),
+    )
+    return (
+        pairs.join(f1, pairs["e1"] == f1["_e1"])
+        .join(f2, pairs["e2"] == f2["_e2"])
+        .withColumn("cosine", inter / (F.col("n1") * F.col("n2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("e1", "e2", "cosine")
+    )
+
+
 def link_entities(triples: DataFrame, cfg: KgConfig) -> DataFrame:
     """Corpus-wide (variant → canonical) map via LSH + CC.
 
@@ -111,10 +172,12 @@ def link_entities(triples: DataFrame, cfg: KgConfig) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .persist()
     )
-    pairs = verify_jaccard(
-        lsh_candidate_pairs(ents.select("entity"), "entity", cfg),
-        cfg.lsh_jaccard_threshold,
-    )
+    cands = lsh_candidate_pairs(ents.select("entity"), "entity", cfg)
+    if cfg.lsh_verify == "tfidf":
+        pairs = verify_tfidf_cosine(
+            cands, ents.select("entity"), cfg.lsh_tfidf_threshold)
+    else:
+        pairs = verify_jaccard(cands, cfg.lsh_jaccard_threshold)
     comp = connected_components(pairs.select("e1", "e2"), src="e1", dst="e2")
     # canonical pick per component: most frequent, then shortest, then lexical
     with_cnt = comp.join(ents, comp["node"] == ents["entity"]).select(
