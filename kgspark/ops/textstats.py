@@ -110,6 +110,127 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 shape):
+# a doc is kept when every signal is at or below its cap.
+GOPHER_CAPS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_frac": 0.30,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+}
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str,
+                       ngram_ns: tuple[int, ...] = (2, 3, 4)) -> DataFrame:
+    """Gopher/RefinedWeb repetition quality signals, one row per doc:
+
+      dup_line_frac       repeated line occurrences / total lines
+      dup_line_char_frac  chars in repeat occurrences (beyond each
+                          line's first) / total line chars
+      dup_para_frac       same as dup_line_frac over blank-line-split
+                          paragraphs
+      top{n}_char_frac    chars covered by the single most frequent
+                          word n-gram / total doc chars, for each n
+
+    Repetition-heavy pages (boilerplate, templated spam, scraper loops)
+    are the classic pre-training poison these caps filter (see
+    GOPHER_CAPS / ``gopher_keep``).
+
+    Scale shape: each signal family is explode → groupBy(id, token) →
+    groupBy(id) — partial aggregation combines map-side, keys carry the
+    doc id so nothing is corpus-global; no Python, no windows.  Empty
+    docs yield zeros.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    doc_chars = base.select("_id", F.greatest(F.length("_text"), F.lit(1)).alias("_n"))
+
+    def _dup_frac(split_pat: str, out_frac: str, out_char_frac: str | None):
+        toks = base.select(
+            "_id",
+            F.explode(
+                F.filter(
+                    F.transform(F.split("_text", split_pat), lambda l: F.trim(l)),
+                    lambda l: l != "",
+                )
+            ).alias("tok"),
+        )
+        per_tok = toks.groupBy("_id", "tok").agg(F.count("*").alias("c"))
+        aggs = [
+            F.round(
+                F.sum(F.col("c") - 1) / F.greatest(F.sum("c"), F.lit(1)), 6
+            ).alias(out_frac)
+        ]
+        if out_char_frac:
+            aggs.append(
+                F.round(
+                    F.sum((F.col("c") - 1) * F.length("tok"))
+                    / F.greatest(F.sum(F.col("c") * F.length("tok")), F.lit(1)),
+                    6,
+                ).alias(out_char_frac)
+            )
+        return per_tok.groupBy("_id").agg(*aggs)
+
+    out = doc_chars.join(
+        _dup_frac(r"\n", "dup_line_frac", "dup_line_char_frac"), "_id", "left"
+    ).join(_dup_frac(r"\n\s*\n", "dup_para_frac", None), "_id", "left")
+
+    words = F.filter(F.split(F.lower("_text"), r"\s+"), lambda w: w != "")
+    for n in ngram_ns:
+        grams = base.select(
+            "_id",
+            F.explode(
+                F.when(
+                    F.size(words) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                        lambda i: F.array_join(F.slice(words, i, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        # argmax by (count, gram length, gram) — deterministic tie-break
+        top = (
+            grams.groupBy("_id", "g").agg(F.count("*").alias("c"))
+            .groupBy("_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"), F.length("g").alias("l"), F.col("g")
+                    )
+                ).alias("t")
+            )
+            .select("_id", (F.col("t.c") * F.col("t.l")).alias(f"_top{n}"))
+        )
+        out = out.join(top, "_id", "left")
+
+    sel = [
+        F.col("_id").alias(id_col),
+        *[
+            F.coalesce(c, F.lit(0.0)).alias(c)
+            for c in ("dup_line_frac", "dup_line_char_frac", "dup_para_frac")
+        ],
+        *[
+            F.round(
+                F.coalesce(F.col(f"_top{n}"), F.lit(0)) / F.col("_n"), 6
+            ).alias(f"top{n}_char_frac")
+            for n in ngram_ns
+        ],
+    ]
+    return out.select(*sel)
+
+
+def gopher_keep(caps: dict[str, float] | None = None) -> Column:
+    """Boolean keep-column over ``repetition_signals`` output: every
+    signal at or below its cap (defaults: GOPHER_CAPS)."""
+    caps = caps or GOPHER_CAPS
+    cond = F.lit(True)
+    for name, cap in caps.items():
+        cond = cond & (F.col(name) <= F.lit(cap))
+    return cond
+
+
 def fingerprint_expr(col: Column, n: int = 8) -> Column:
     """Winnowing-style document fingerprint: minimum md5 over word
     n-gram shingles (md5 → portable across engines).  Equal fingerprints

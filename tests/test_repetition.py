@@ -1,0 +1,94 @@
+"""Gopher repetition signals: exact parity vs a pure-Python
+recomputation of the same definitions, plus filter behavior."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from kgspark.ops import textstats
+
+
+DOCS = [
+    # clean prose — long enough that no single n-gram dominates (the
+    # Gopher caps are fractions of total chars and assume real documents)
+    (1, "the quick brown fox jumps over the lazy dog near the old river bank "
+        "while seven curious travelers watched from a wooden bridge and "
+        "discussed the morning weather with surprising enthusiasm before "
+        "walking toward the distant village market to trade stories about "
+        "harvest seasons and the gentle art of keeping bees in clay pots"),
+    # duplicate lines + paragraphs
+    (2, "buy now\nbuy now\nbuy now\n\nlimited offer\n\nlimited offer"),
+    # one dominant 2-gram
+    (3, "click here click here click here click here please"),
+    # empty
+    (4, ""),
+    # single word (below every n-gram size)
+    (5, "hello"),
+]
+
+
+def _py_signals(text: str) -> dict[str, float]:
+    def dup(parts):
+        parts = [p.strip() for p in parts if p.strip()]
+        if not parts:
+            return 0.0, 0.0
+        counts: dict[str, int] = {}
+        for p in parts:
+            counts[p] = counts.get(p, 0) + 1
+        total = sum(counts.values())
+        dup_n = sum(c - 1 for c in counts.values())
+        total_ch = sum(c * len(p) for p, c in counts.items())
+        dup_ch = sum((c - 1) * len(p) for p, c in counts.items())
+        return (
+            round(dup_n / max(total, 1), 6),
+            round(dup_ch / max(total_ch, 1), 6),
+        )
+
+    line_f, line_cf = dup(text.split("\n"))
+    para_f, _ = dup(re.split(r"\n\s*\n", text))
+    out = {
+        "dup_line_frac": line_f,
+        "dup_line_char_frac": line_cf,
+        "dup_para_frac": para_f,
+    }
+    words = [w for w in re.split(r"\s+", text.lower()) if w]
+    n_chars = max(len(text), 1)
+    for n in (2, 3, 4):
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+        if not grams:
+            out[f"top{n}_char_frac"] = 0.0
+            continue
+        counts: dict[str, int] = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        # argmax by (count, len, lexical) — mirrors the struct-max tie-break
+        top = max(counts, key=lambda g: (counts[g], len(g), g))
+        out[f"top{n}_char_frac"] = round(counts[top] * len(top) / n_chars, 6)
+    return out
+
+
+def test_repetition_signals_match_pure_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.repetition_signals(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {d[0] for d in DOCS}
+    for doc_id, text in DOCS:
+        want = _py_signals(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-9), (doc_id, k)
+
+
+def test_gopher_keep_filters_repetitive_docs(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    sig = textstats.repetition_signals(df, "doc_id", "text")
+    kept = {
+        r["doc_id"]
+        for r in sig.filter(textstats.gopher_keep()).collect()
+    }
+    assert 1 in kept, "clean prose passes"
+    assert 2 not in kept, "duplicate-line spam fails"
+    assert 3 not in kept, "dominant-ngram spam fails"
