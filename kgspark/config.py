@@ -37,6 +37,11 @@ class KgConfig:
     # O-21/O-22 deterministic community-inference stand-ins (reference
     # flag: inference.use_llm_for_inference) — OFF = parity config
     community_inference_enabled: bool = False
+    # Gopher repetition-quality page filter (ops/textstats): drop
+    # boilerplate/templated-spam pages before extraction.  OFF = parity
+    # config (the reference has no such stage); ON for corpus-scale
+    # training-data builds.
+    quality_filter_enabled: bool = False
     # scale knobs
     num_buckets: int = 64          # url-hash partition buckets
     salt_partitions: int = 8       # salt fan-out for hot domains
@@ -70,6 +75,7 @@ class KgConfig:
             inference_enabled=bool(inf.get("enabled", True)),
             t2s_enabled=bool(chunking.get("t2s", False)),
             lsh_linking_enabled=bool(std.get("lsh_linking", False)),
+            quality_filter_enabled=bool(raw.get("quality", {}).get("enabled", False)),
             community_inference_enabled=bool(inf.get("community_inference", False)),
             num_buckets=int(scale.get("num_buckets", 64)),
             salt_partitions=int(scale.get("salt_partitions", 8)),

@@ -67,6 +67,28 @@ def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
     strategy = "localCheckpoint" if materialize is True else (
         "none" if materialize is False else materialize)
 
+    if cfg.quality_filter_enabled and "text" in pages.columns:
+        # Gopher repetition caps over the shipped text column, applied as
+        # a left-semi join on url — co-partitions with the url-hash
+        # layout, so no extra corpus-global shuffle shape at scale.
+        # The caps are word-based (whitespace tokenization), so they only
+        # gate pages whose text is whitespace-tokenizable; CJK-dominant
+        # pages (few/no spaces — "words" degenerate to whole lines) pass
+        # through, the standard language-scoped application of these
+        # filters.
+        from kgspark.ops.textstats import (cjk_char_count, gopher_keep,
+                                           repetition_signals)
+        cjk_ratio = cjk_char_count(F.col("text")) / F.greatest(
+            F.length("text"), F.lit(1))
+        gated = pages.filter(cjk_ratio <= 0.05)
+        keep = (
+            repetition_signals(gated, "url", "text")
+            .filter(gopher_keep())
+            .select("url")
+            .union(pages.filter(cjk_ratio > 0.05).select("url"))
+        )
+        pages = pages.join(keep, "url", "left_semi")
+
     def cut(df: DataFrame, name: str) -> DataFrame:
         t0 = time.time()
         if strategy == "localCheckpoint":

@@ -82,6 +82,34 @@ def test_repetition_signals_match_pure_python(spark):
             assert got[doc_id][k] == pytest.approx(v, abs=1e-9), (doc_id, k)
 
 
+def test_pipeline_quality_filter_drops_spam_pages(spark):
+    """cfg.quality_filter_enabled: a repeated-line spam page contributes
+    no triples; clean pages are untouched (output == unfiltered minus
+    the spam url)."""
+    import datetime as dt
+
+    from kgspark import datagen
+    from kgspark.config import KgConfig
+    from kgspark.pipeline.ingest import PAGES_SCHEMA
+    from kgspark.pipeline.runner import build_triples
+
+    clean = datagen.generate_rows(12, seed=3)
+    spam_text = "buy cheap tokens now\n" * 40
+    spam_html = "<html><body>" + "<p>buy cheap tokens now</p>" * 40 + "</body></html>"
+    spam = ("https://spam.example/p", dt.datetime(2021, 1, 1), spam_html.encode(),
+            spam_text, "en")
+    pages = spark.createDataFrame(clean + [spam], PAGES_SCHEMA)
+
+    plain = build_triples(pages, KgConfig(), from_html=True)
+    filt = build_triples(pages, KgConfig(quality_filter_enabled=True), from_html=True)
+
+    plain_rows = {tuple(r) for r in plain.collect()}
+    filt_rows = {tuple(r) for r in filt.collect()}
+    assert not any(r[0] == "https://spam.example/p" for r in filt_rows)
+    assert filt_rows == {r for r in plain_rows if r[0] != "https://spam.example/p"}
+    assert filt_rows, "clean datagen pages must survive the caps"
+
+
 def test_gopher_keep_filters_repetitive_docs(spark):
     df = spark.createDataFrame(DOCS, "doc_id int, text string")
     sig = textstats.repetition_signals(df, "doc_id", "text")
