@@ -226,6 +226,76 @@ def connected_components_star(
     return out
 
 
+def incremental_connected_components(
+    prev_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    materialize: str = "localCheckpoint",
+) -> DataFrame:
+    """Fold a batch of NEW edges into an existing (node, component)
+    labeling without recomputing the whole graph — the continuous-crawl
+    path: at 10^12 documents a nightly batch touches a sliver of the
+    entity graph, and a full global CC per batch is almost entirely
+    redundant work.
+
+    Exactness: a CC labeling is a connectivity-preserving contraction —
+    the star edges (node → component) have the same components as the
+    original edge set, and component ids are member-node minima, so
+
+        CC(E_old ∪ E_new) == CC(star(prev_labels) ∪ E_new)
+
+    and components untouched by ``new_edges`` cannot change at all.
+    Work is therefore restricted to the touched frontier:
+
+      1. components containing a new-edge endpoint (one equi-join);
+      2. star edges of those components ∪ ``new_edges`` → CC (the
+         subgraph is a union of stars plus the batch, so large/small-star
+         converges in ~2 rounds regardless of old-component diameter);
+      3. everything else passes through untouched (left_anti).
+
+    The two big-side joins (touched-filter and left_anti pass-through)
+    share the same component key: with the labels table stored bucketed
+    by component (the natural layout for a table this function itself
+    produces), both run shuffle-free on the 10^12-row side, leaving the
+    batch-proportional subgraph as the only shuffled data.
+
+    Returns (node, component) identical to a full recompute over the
+    union edge set (asserted in tests), including brand-new nodes and
+    batches that merge previously separate components."""
+    ends = (
+        new_edges.select(F.col(src).alias("node"))
+        .union(new_edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    prev_labels = prev_labels.select("node", "component").persist()
+    touched = (
+        prev_labels.join(ends, "node").select("component").distinct().persist()
+    )
+    affected = prev_labels.join(touched, "component")
+    # (node → component) star edges carry all old connectivity of the
+    # affected components; roots (node == component) would be self-loops
+    star_edges = (
+        affected.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("u"), F.col("component").alias("v"))
+    )
+    sub = star_edges.union(
+        new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    relabeled = connected_components_star(
+        sub, src="u", dst="v", max_iter=max_iter, materialize=materialize)
+    # string-`on` joins put the join key first, so re-fix column order
+    # explicitly and union by name, not position
+    untouched = (
+        prev_labels.join(touched, "component", "left_anti")
+        .select("node", "component")
+    )
+    out = untouched.unionByName(relabeled.select("node", "component"))
+    touched.unpersist()
+    prev_labels.unpersist()
+    return out
+
+
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst",
             key: str | None = None) -> DataFrame:
     """Undirected degree per node (parallel edges deduplicated),

@@ -376,3 +376,67 @@ def test_louvain_modularity_on_clique_ring(spark):
     assert q > _modularity(edges, one)
     assert q > _modularity(edges, singles)
     assert q > 0.4  # known optimum ~0.5 for this ring
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    """Folding a new edge batch into prior labels must equal a full CC
+    over the union edge set — covering component merges, brand-new
+    nodes, touched singletons, and untouched components."""
+    import random
+
+    from kgspark.pipeline.graph import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    rng = random.Random(7)
+    old_edges = []
+    # chain component, clique component, several untouched islands
+    old_edges += [(f"c{i:02d}", f"c{i+1:02d}") for i in range(12)]
+    ids = [f"k{i}" for i in range(5)]
+    old_edges += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    for isl in range(6):
+        old_edges += [(f"i{isl}a", f"i{isl}b"), (f"i{isl}b", f"i{isl}c")]
+    nodes = [f"r{i:03d}" for i in range(80)]
+    old_edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    old_edges = [e for e in old_edges if e[0] != e[1]]
+    # old labels include a singleton only reachable via the new batch
+    old_df = spark.createDataFrame(
+        old_edges + [("lone", "lone2")], "src string, dst string")
+    prev = connected_components(old_df, max_iter=60)
+
+    new_edges = [
+        ("c05", "k2"),          # merge chain + clique
+        ("lone2", "i0a"),       # singleton-ish pair joins an island
+        ("new1", "new2"),       # brand-new component
+        ("new2", "c00"),        # ... that also merges into the chain
+        ("r001", "r002"),       # inside the random graph
+    ]
+    new_df = spark.createDataFrame(new_edges, "src string, dst string")
+
+    got = {(r.node, r.component)
+           for r in incremental_connected_components(prev, new_df).collect()}
+    full = spark.createDataFrame(
+        old_edges + [("lone", "lone2")] + new_edges, "src string, dst string")
+    want = {(r.node, r.component)
+            for r in connected_components(full, max_iter=60).collect()}
+    assert got == want
+
+
+def test_incremental_cc_untouched_pass_through(spark):
+    """Components with no new-edge endpoint keep their exact labels (no
+    relabeling work is even eligible for them)."""
+    from kgspark.pipeline.graph import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    old_df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string")
+    prev = connected_components(old_df)
+    new_df = spark.createDataFrame([("x", "z")], "src string, dst string")
+    got = {(r.node, r.component)
+           for r in incremental_connected_components(prev, new_df).collect()}
+    assert {("a", "a"), ("b", "a"), ("c", "a")} <= got
+    assert {("x", "x"), ("y", "x"), ("z", "x")} <= got
+    assert len(got) == 6
