@@ -841,13 +841,21 @@ SQL_KG_DEDUP = """
 
 
 def q_kg_connected_components(spark, sf):
-    """O-20: BOTH CC algorithms in one driver query — min-label
-    propagation AND large-star/small-star contraction, each tagged by
-    ``algo`` and checked against the same recursive-CTE reachability
-    oracle (so the driver verifies the two implementations agree exactly).
-    Folded from the former separate ``kg_cc_star`` registration so every
-    exact-oracle query fits inside the driver's 50-query budget."""
-    from kgspark.pipeline.graph import connected_components_star
+    """O-20: ALL THREE CC paths in one driver query — min-label
+    propagation, large-star/small-star contraction, and the
+    incremental fold (labels from ~80% of the edges + the remaining
+    ~20% folded in as a "new batch" via
+    ``incremental_connected_components``) — each tagged by ``algo``
+    and checked against the same recursive-CTE reachability oracle,
+    so the driver verifies that every implementation agrees exactly.
+    The incremental branch's oracle needs no split replay: its
+    contract is labels identical to the full recompute regardless of
+    how the edge set is split.  Folded registrations keep every
+    exact-oracle query inside the driver's 50-query budget."""
+    from kgspark.pipeline.graph import (
+        connected_components_star,
+        incremental_connected_components,
+    )
     edges = relational.geo_graph_triples(spark, sf).select(
         F.col("subject").alias("src"), F.col("object").alias("dst")
     )
@@ -855,7 +863,12 @@ def q_kg_connected_components(spark, sf):
         F.lit("minlabel").alias("algo"), "node", "component")
     star = connected_components_star(edges).select(
         F.lit("star").alias("algo"), "node", "component")
-    return minlabel.unionByName(star)
+    is_new = F.pmod(F.xxhash64("src", "dst"), F.lit(5)) == 0
+    old_e, new_e = edges.filter(~is_new), edges.filter(is_new)
+    prev = connected_components(old_e)
+    incr = incremental_connected_components(prev, new_e).select(
+        F.lit("incremental").alias("algo"), "node", "component")
+    return minlabel.unionByName(star).unionByName(incr)
 
 
 SQL_KG_CC = f"""
@@ -872,6 +885,8 @@ SQL_KG_CC = f"""
     SELECT 'minlabel' AS algo, node, component FROM cc
     UNION ALL
     SELECT 'star' AS algo, node, component FROM cc
+    UNION ALL
+    SELECT 'incremental' AS algo, node, component FROM cc
 """
 
 
