@@ -42,6 +42,12 @@ class KgConfig:
     # config (the reference has no such stage); ON for corpus-scale
     # training-data builds.
     quality_filter_enabled: bool = False
+    # exact content dedup of pages before extraction (training-data
+    # staple: crawl corpora carry ~25-30% byte-identical duplicates).
+    # Keeps the lexicographically-smallest url per content hash —
+    # deterministic regardless of partitioning.  OFF = parity config
+    # (the reference has no such stage).
+    page_dedup_enabled: bool = False
     # scale knobs
     num_buckets: int = 64          # url-hash partition buckets
     salt_partitions: int = 8       # salt fan-out for hot domains
@@ -76,6 +82,7 @@ class KgConfig:
             t2s_enabled=bool(chunking.get("t2s", False)),
             lsh_linking_enabled=bool(std.get("lsh_linking", False)),
             quality_filter_enabled=bool(raw.get("quality", {}).get("enabled", False)),
+            page_dedup_enabled=bool(raw.get("quality", {}).get("page_dedup", False)),
             community_inference_enabled=bool(inf.get("community_inference", False)),
             num_buckets=int(scale.get("num_buckets", 64)),
             salt_partitions=int(scale.get("salt_partitions", 8)),

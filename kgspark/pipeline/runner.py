@@ -67,6 +67,23 @@ def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
     strategy = "localCheckpoint" if materialize is True else (
         "none" if materialize is False else materialize)
 
+    if cfg.page_dedup_enabled:
+        # exact content dedup ahead of every downstream stage: one
+        # shuffle keyed by content hash (128-bit md5 — collision odds
+        # negligible at corpus scale), winner = lexicographically
+        # smallest url, so the surviving set is deterministic under any
+        # partitioning.  Hashing the raw bytes (html when present, else
+        # text) dedups before the Arrow extraction pass — the whole
+        # point: duplicate pages never pay extraction.
+        content = F.md5(F.col("html")) if from_html and "html" in pages.columns \
+            else F.md5(F.col("text"))
+        winners = (
+            pages.select(content.alias("_ch"), "url")
+            .groupBy("_ch").agg(F.min("url").alias("url"))
+            .select("url")
+        )
+        pages = pages.join(winners, "url", "left_semi")
+
     if cfg.quality_filter_enabled and "text" in pages.columns:
         # Gopher repetition caps over the shipped text column, applied as
         # a left-semi join on url — co-partitions with the url-hash

@@ -120,3 +120,32 @@ def test_gopher_keep_filters_repetitive_docs(spark):
     assert 1 in kept, "clean prose passes"
     assert 2 not in kept, "duplicate-line spam fails"
     assert 3 not in kept, "dominant-ngram spam fails"
+
+
+def test_pipeline_page_dedup_keeps_min_url_per_content(spark):
+    """cfg.page_dedup_enabled: byte-identical duplicate pages contribute
+    triples only under their lexicographically-smallest url; unique
+    pages are untouched (output == unfiltered minus the dup urls)."""
+    from kgspark import datagen
+    from kgspark.config import KgConfig
+    from kgspark.pipeline.ingest import PAGES_SCHEMA
+    from kgspark.pipeline.runner import build_triples
+
+    clean = datagen.generate_rows(10, seed=5)
+    # two extra urls carrying the exact html bytes of the first page;
+    # min url across the trio is the clone at https://aaa...
+    base = clean[0]
+    dup_urls = ["https://zzz.example/copy", "https://aaa.example/copy"]
+    dups = [(u, *base[1:]) for u in dup_urls]
+    pages = spark.createDataFrame(clean + dups, PAGES_SCHEMA)
+
+    plain = build_triples(pages, KgConfig(), from_html=True)
+    dd = build_triples(pages, KgConfig(page_dedup_enabled=True), from_html=True)
+
+    plain_rows = {tuple(r) for r in plain.collect()}
+    dd_rows = {tuple(r) for r in dd.collect()}
+    winner = min([base[0]] + dup_urls)
+    losers = {u for u in [base[0]] + dup_urls if u != winner}
+    assert not any(r[0] in losers for r in dd_rows)
+    assert dd_rows == {r for r in plain_rows if r[0] not in losers}
+    assert any(r[0] == winner for r in dd_rows)
