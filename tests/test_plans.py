@@ -166,3 +166,40 @@ def test_topk_broadcasts_query_side(spark):
     q = emb.filter(F.col("vec_id") < 4)
     plan = plan_of(similarity.topk_neighbors(emb, q, "vec_id", "embedding", k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
+    """Two tables written bucketed by the same key join on that key with
+    NO Exchange on either side — the write-once-shuffle-never-again
+    layout for the materialized entities/edges relations (tables.py).
+    Broadcast is disabled so the assertion can't pass trivially."""
+    from kgspark.pipeline import tables
+
+    base = tmp_path_factory.mktemp("bucketed")
+    ents = spark.range(0, 2000).selectExpr(
+        "concat('e', id) AS entity", "id % 7 AS degree")
+    edges = spark.range(0, 6000).selectExpr(
+        "concat('e', id % 2000) AS entity", "concat('e', (id * 37) % 2000) AS dst")
+    tables.write_bucketed(
+        ents.repartition(8, "entity"), "t_ents_b", "entity",
+        num_buckets=8, path=str(base / "ents"))
+    tables.write_bucketed(
+        edges.repartition(8, "entity"), "t_edges_b", "entity",
+        num_buckets=8, path=str(base / "edges"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = tables.read_table(spark, "t_edges_b").join(
+            tables.read_table(spark, "t_ents_b"), "entity")
+        plan = plan_of(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == 6000
+        # the same join over a raw path read DOES shuffle — the catalog
+        # read is what carries the bucket metadata to the planner
+        raw = spark.read.parquet(str(base / "edges")).join(
+            spark.read.parquet(str(base / "ents")), "entity")
+        assert "Exchange" in plan_of(raw)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_ents_b")
+        spark.sql("DROP TABLE IF EXISTS t_edges_b")
