@@ -48,6 +48,11 @@ class KgConfig:
     # deterministic regardless of partitioning.  OFF = parity config
     # (the reference has no such stage).
     page_dedup_enabled: bool = False
+    # write the derived entities/edges relations as bucketed catalog
+    # tables (pipeline/tables.py) so downstream analytics joins on the
+    # entity key run shuffle-free.  OFF by default: bucketed writes need
+    # a catalog (saveAsTable), which plain path-only deployments lack.
+    bucketed_output: bool = False
     # scale knobs
     num_buckets: int = 64          # url-hash partition buckets
     salt_partitions: int = 8       # salt fan-out for hot domains
@@ -83,6 +88,7 @@ class KgConfig:
             lsh_linking_enabled=bool(std.get("lsh_linking", False)),
             quality_filter_enabled=bool(raw.get("quality", {}).get("enabled", False)),
             page_dedup_enabled=bool(raw.get("quality", {}).get("page_dedup", False)),
+            bucketed_output=bool(scale.get("bucketed_output", False)),
             community_inference_enabled=bool(inf.get("community_inference", False)),
             num_buckets=int(scale.get("num_buckets", 64)),
             salt_partitions=int(scale.get("salt_partitions", 8)),

@@ -297,6 +297,7 @@ def run_pipeline(
     from_html: bool = True,
     force: bool = False,
     bucket_groups: int = 1,
+    table_prefix: str = "kg",
 ) -> dict:
     """Resumable batch job: process pending url-hash buckets, append
     per-bucket triples + manifest rows, rebuild entities/edges tables.
@@ -307,6 +308,10 @@ def run_pipeline(
     buckets and the run continues — the reference's per-year error JSON
     (policy_kg_batch_generator.py:152-164).  Failed buckets are NOT
     marked complete, so the next run reprocesses exactly those.
+
+    ``table_prefix`` names the catalog tables written when
+    ``cfg.bucketed_output`` is on (``{prefix}_entities`` /
+    ``{prefix}_edges``).
     """
     cfg = cfg or KgConfig()
     run_id = uuid.uuid4().hex[:12]
@@ -376,8 +381,27 @@ def run_pipeline(
         )
         deg = und.groupBy(F.col("a").alias("entity")).agg(F.count("*").alias("degree"))
         ents = mentions.join(deg, "entity", "left").na.fill({"degree": 0})
-        ents.write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))
-        edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
+        if cfg.bucketed_output:
+            # bucketed-by-entity-key layout (tables.py): the repeated
+            # analytics joins edges.src ⋈ entities.entity then run with
+            # no Exchange (plan-asserted in tests); one task per bucket
+            # so each bucket is a single sorted file.  The files still
+            # land under out_dir, so path readers keep working — only
+            # the catalog read carries the bucket metadata.
+            from kgspark.pipeline import tables as _tables
+            _tables.write_bucketed(
+                ents.repartition(cfg.num_buckets, "entity"),
+                f"{table_prefix}_entities", "entity",
+                num_buckets=cfg.num_buckets,
+                path=os.path.join(out_dir, "entities"))
+            _tables.write_bucketed(
+                edges.repartition(cfg.num_buckets, "src"),
+                f"{table_prefix}_edges", "src",
+                num_buckets=cfg.num_buckets,
+                path=os.path.join(out_dir, "edges"))
+        else:
+            ents.write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))
+            edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
     except AnalysisException as exc:
         # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA: every group failed (or
         # produced zero rows) before any partials landed — nothing to

@@ -217,3 +217,43 @@ def test_progress_report(spark, tmp_path, pages_path):
     assert by_status["success"].rows_in == 60
     assert by_status["success"].rows_out > 0
     assert by_status["success"].pct_of_keyspace == 100.0
+
+
+def test_bucketed_output_tables_join_shuffle_free(spark, tmp_path, pages_path):
+    """cfg.bucketed_output: entities/edges land as bucketed catalog
+    tables whose edges.src ⋈ entities.entity join plans with no
+    Exchange, while the path-level parquet contents stay identical to a
+    default run's (only the layout/metadata differ)."""
+    out = str(tmp_path / "out")
+    plain_out = str(tmp_path / "plain")
+    cfg = KgConfig(num_buckets=8, bucketed_output=True)
+    try:
+        run_pipeline(spark, pages_path, out, cfg, table_prefix="kgtest")
+        run_pipeline(spark, pages_path, plain_out, CFG)
+
+        ents = spark.table("kgtest_entities")
+        edges = spark.table("kgtest_edges")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = edges.join(ents, edges["src"] == ents["entity"])
+            import contextlib, io
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain("formatted")
+            assert "Exchange" not in buf.getvalue(), buf.getvalue()
+            assert j.count() == edges.count()  # every src is an entity
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        # path readers see the same rows as a non-bucketed run
+        for name, cols in (("entities", ["entity", "mentions", "degree"]),
+                           ("edges", ["src", "dst", "predicate", "inferred"])):
+            got = {tuple(r) for r in spark.read.parquet(
+                os.path.join(out, name)).select(*cols).collect()}
+            want = {tuple(r) for r in spark.read.parquet(
+                os.path.join(plain_out, name)).select(*cols).collect()}
+            assert got == want, name
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kgtest_entities")
+        spark.sql("DROP TABLE IF EXISTS kgtest_edges")
