@@ -137,3 +137,44 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         .select("user_id", "started_at", "ended_at", "n_events").collect()
     }
     assert want and got == want
+
+
+def test_stream_incremental_cc_labels_match_full_cc(spark, tmp_path):
+    """start_kg_labels_stream: after several micro-batches, the latest
+    (node, component) labeling equals a full CC over every edge
+    streamed so far — the incremental fold is exact across batch
+    boundaries."""
+    from kgspark.pipeline.graph import connected_components
+    from kgspark.streaming.pipeline import (
+        read_latest_labels,
+        start_kg_labels_stream,
+    )
+
+    pages_path = str(tmp_path / "pages")
+    datagen.write_pages(spark, pages_path, 40, seed=13, partitions=4)
+
+    out = str(tmp_path / "kg_stream")
+    q = start_kg_labels_stream(
+        stream_pages(spark, pages_path, max_files_per_trigger=1), out, CFG
+    )
+    q.awaitTermination(600)
+
+    triples = spark.read.parquet(os.path.join(out, "triples"))
+    # one labels version per non-empty micro-batch → incremental path ran
+    n_batches = triples.select("batch_id").distinct().count()
+    assert n_batches >= 2, "need multiple micro-batches to exercise the fold"
+    versions = [
+        d for d in os.listdir(os.path.join(out, "cc_labels"))
+        if d.startswith("v=")
+    ]
+    assert len(versions) == n_batches
+
+    edges = (
+        triples.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+        .filter(F.col("src") != F.col("dst")).distinct()
+    )
+    want = {(r.node, r.component)
+            for r in connected_components(edges, max_iter=60).collect()}
+    got = {(r.node, r.component)
+           for r in read_latest_labels(spark, out).collect()}
+    assert got == want
