@@ -10,17 +10,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def basic_stats(triples: DataFrame) -> DataFrame:
-    """A-1 (analyze_kg_data.py:24-48)."""
+def basic_stats(triples: DataFrame, approximate: bool = False,
+                rsd: float = 0.02) -> DataFrame:
+    """A-1 (analyze_kg_data.py:24-48).
+
+    ``approximate=True`` swaps every countDistinct for a HyperLogLog++
+    sketch (``approx_count_distinct``, relative error ``rsd``): exact
+    distinct counts over a 10^12-row corpus shuffle every distinct
+    value, while the sketches merge map-side into a few KB per
+    partition — the right default at 100 TB when the consumer is a
+    dashboard, not an oracle.  Exact remains the default (and the
+    driver-oracle path)."""
+    cd = (lambda c: F.approx_count_distinct(c, rsd)) if approximate \
+        else F.countDistinct
     ents = triples.select(F.col("subject").alias("e")).union(
         triples.select(F.col("object").alias("e"))
     )
     return triples.agg(
         F.count("*").alias("total_triples"),
-        F.countDistinct("subject").alias("unique_subjects"),
-        F.countDistinct("predicate").alias("unique_predicates"),
-        F.countDistinct("object").alias("unique_objects"),
-    ).crossJoin(ents.agg(F.countDistinct("e").alias("unique_entities")))
+        cd("subject").alias("unique_subjects"),
+        cd("predicate").alias("unique_predicates"),
+        cd("object").alias("unique_objects"),
+    ).crossJoin(ents.agg(cd("e").alias("unique_entities")))
 
 
 def top_predicates(triples: DataFrame, k: int = 20) -> DataFrame:
