@@ -76,8 +76,16 @@ def connected_components(
         edges.select(*kcols, F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(*kcols, F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
     )
+    # cut the INPUT lineage once before looping: every round embeds
+    # und's logical plan into the propagate join, so a caller handing
+    # in a complex join tree (e.g. the incremental-CC subgraph) would
+    # otherwise pay Catalyst re-analysis of that tree per round —
+    # measured 28 s of driver time on a 3k-edge subgraph whose plan
+    # multiplied ~64× into the first round
+    if materialize != "none":
+        und = _lineage_cut(und, materialize)
+    und = und.persist()
     # the label table's key is aliased (_lk): labels derive from und, and
     # joining two lineages of the same column is ambiguous in Spark
     lkcols = ["_lk"] if key else []
@@ -157,8 +165,15 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .persist()
     )
+    # cut the INPUT lineage before looping: the double-star round
+    # references its input ~8× per star, so a complex caller plan
+    # (incremental-CC subgraph) multiplies ~64× into round one and
+    # stalls Catalyst analysis for tens of seconds (rounds 2+ start
+    # from the per-round cut and were never affected)
+    if materialize != "none":
+        e = _lineage_cut(e, materialize)
+    e = e.persist()
     all_nodes = e.select(F.col("u").alias("node")).distinct().persist()
 
     def star(cur: DataFrame, large: bool) -> DataFrame:
