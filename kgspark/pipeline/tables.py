@@ -63,3 +63,55 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     planner (a raw ``spark.read.parquet(path)`` of the same files
     would re-shuffle)."""
     return spark.table(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> dict:
+    """Small-file compaction for an append-heavy parquet directory —
+    streaming micro-batches (`streaming/pipeline.py`) and per-bucket
+    dynamic overwrites (`runner.py`) each add files per trigger/bucket,
+    and at crawl scale a listing of millions of KB-sized files costs
+    more than the scan itself.
+
+    Rewrites the directory to ``ceil(bytes / target_file_bytes)``
+    files (per partition when ``partition_col`` is given, preserving
+    the partition layout), staging into a sibling ``<path>.__compact__``
+    directory and swapping via FS rename, so readers see either the old
+    or the new complete directory.  The swap itself (delete + rename)
+    is not atomic across the two ops — on a table format (Iceberg)
+    prefer its transactional ``rewriteDataFiles``; this utility is for
+    the plain-parquet layout.  Returns {files_before, files_after,
+    bytes}.
+    """
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    summary = fs.getContentSummary(p)
+    n_bytes, files_before = summary.getLength(), summary.getFileCount()
+    n_files = max(1, math.ceil(n_bytes / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact__"
+    if partition_col is not None:
+        # spread within each partition; repartition by the partition
+        # column alone would funnel each partition into one task
+        w = df.repartition(n_files, partition_col).write.partitionBy(partition_col)
+    else:
+        w = df.repartition(n_files).write
+    w.mode("overwrite").parquet(tmp)
+
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(p, True)
+    if not fs.rename(tmp_p, p):
+        raise IOError(f"compaction swap failed: rename {tmp} -> {path}")
+    after = fs.getContentSummary(p)
+    return {"files_before": int(files_before),
+            "files_after": int(after.getFileCount()),
+            "bytes": int(n_bytes)}

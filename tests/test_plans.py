@@ -203,3 +203,34 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_ents_b")
         spark.sql("DROP TABLE IF EXISTS t_edges_b")
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """compact_parquet: many tiny appended files collapse to few, rows
+    and partition layout are preserved exactly."""
+    import os
+
+    from kgspark.pipeline.tables import compact_parquet
+
+    flat = str(tmp_path / "flat")
+    for i in range(12):  # 12 appends → ≥12 files
+        spark.range(i * 100, (i + 1) * 100).write.mode("append").parquet(flat)
+    before = {r.id for r in spark.read.parquet(flat).collect()}
+    stats = compact_parquet(spark, flat, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 12
+    assert stats["files_after"] < stats["files_before"]
+    assert {r.id for r in spark.read.parquet(flat).collect()} == before
+
+    part = str(tmp_path / "part")
+    for i in range(6):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "id % 3 AS bucket").write.mode("append").partitionBy(
+            "bucket").parquet(part)
+    want = {(r.id, r.bucket) for r in spark.read.parquet(part).collect()}
+    compact_parquet(spark, part, target_file_bytes=1 << 30,
+                    partition_col="bucket")
+    got_df = spark.read.parquet(part)
+    assert {(r.id, r.bucket) for r in got_df.collect()} == want
+    # partition dirs survive the rewrite
+    assert sorted(d for d in os.listdir(part) if d.startswith("bucket=")) == [
+        "bucket=0", "bucket=1", "bucket=2"]
