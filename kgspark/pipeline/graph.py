@@ -284,10 +284,18 @@ def incremental_connected_components(
         .union(new_edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    prev_labels = prev_labels.select("node", "component").persist()
-    touched = (
-        prev_labels.join(ends, "node").select("component").distinct().persist()
-    )
+    prev_labels = prev_labels.select("node", "component")
+    # touched is tiny (one row per batch-adjacent component): cut it
+    # eagerly so neither the subgraph nor the pass-through branch of
+    # the LAZY returned frame re-derives it — prev_labels itself is
+    # deliberately NOT cached: the output is returned unevaluated, so a
+    # cache could only be released before the caller's action (forcing
+    # recompute anyway) or leaked.  Its 2 remaining uses are plain
+    # scans of the (parquet/bucketed) labels table.
+    touched = _lineage_cut(
+        prev_labels.join(ends, "node").select("component").distinct(),
+        materialize if materialize != "none" else "localCheckpoint",
+    ).persist()
     affected = prev_labels.join(touched, "component")
     # (node → component) star edges carry all old connectivity of the
     # affected components; roots (node == component) would be self-loops
@@ -305,10 +313,10 @@ def incremental_connected_components(
         prev_labels.join(touched, "component", "left_anti")
         .select("node", "component")
     )
-    out = untouched.unionByName(relabeled.select("node", "component"))
-    touched.unpersist()
-    prev_labels.unpersist()
-    return out
+    # touched stays persisted: it feeds BOTH branches of the returned
+    # lazy frame; it is one small row per touched component and the
+    # periodic ContextCleaner GC reclaims it after the caller's action
+    return untouched.unionByName(relabeled.select("node", "component"))
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst",

@@ -100,9 +100,24 @@ def compact_parquet(
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact__"
     if partition_col is not None:
-        # spread within each partition; repartition by the partition
-        # column alone would funnel each partition into one task
-        w = df.repartition(n_files, partition_col).write.partitionBy(partition_col)
+        # files-per-partition-value from the FS listing (partition dirs
+        # are already enumerated); a salt column spreads each value over
+        # that many tasks — repartition(n, partition_col) alone would
+        # funnel every value through ONE task (hash partitioning) and
+        # ignore target_file_bytes, and a plain round-robin would write
+        # n_files files into EVERY partition dir
+        from pyspark.sql import functions as F
+
+        n_values = max(1, sum(
+            1 for st in fs.listStatus(p)
+            if st.getPath().getName().startswith(f"{partition_col}=")))
+        n_per = max(1, round(n_files / n_values))
+        data_cols = [c for c in df.columns if c != partition_col]
+        salt = F.pmod(F.xxhash64(*data_cols), F.lit(n_per))
+        w = (
+            df.repartition(n_values * n_per, F.col(partition_col), salt)
+            .write.partitionBy(partition_col)
+        )
     else:
         w = df.repartition(n_files).write
     w.mode("overwrite").parquet(tmp)

@@ -31,6 +31,30 @@ def stream_pages(spark: SparkSession, path: str, max_files_per_trigger: int = 16
     )
 
 
+def _write_batch_triples(batch_df: DataFrame, batch_id: int,
+                         triples_path: str, cfg: KgConfig,
+                         from_html: bool) -> DataFrame | None:
+    """Shared per-micro-batch body: run the deterministic pipeline and
+    land the batch's triples under its own ``batch_id=`` partition with
+    dynamic partition overwrite — foreachBatch delivery is
+    at-least-once, so a retried batch must REPLACE its partition, not
+    append a duplicate.  Returns the batch's triples DataFrame
+    (materialized by build_triples' barrier) or None if empty."""
+    from kgspark.pipeline.runner import build_triples
+
+    if batch_df.isEmpty():
+        return None
+    out = build_triples(batch_df, cfg, from_html=from_html)
+    (
+        out.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(triples_path)
+    )
+    return out
+
+
 def start_triples_stream(
     pages_stream: DataFrame,
     out_dir: str,
@@ -42,20 +66,16 @@ def start_triples_stream(
 
     Each micro-batch runs the full deterministic pipeline (per-document
     semantics make batch boundaries safe: no cross-document state) and
-    appends; the streaming checkpoint makes delivery exactly-once."""
-    from kgspark.pipeline.runner import build_triples
-
+    lands its own ``batch_id=`` partition; together with the streaming
+    checkpoint (skip committed batches) and the dynamic partition
+    overwrite (retried batches replace, not duplicate), delivery is
+    exactly-once."""
     cfg = cfg or KgConfig()
     triples_path = os.path.join(out_dir, "triples")
     checkpoint = os.path.join(out_dir, "_checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int):
-        if batch_df.isEmpty():
-            return
-        out = build_triples(batch_df, cfg, from_html=from_html)
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            triples_path
-        )
+        _write_batch_triples(batch_df, batch_id, triples_path, cfg, from_html)
 
     writer = (
         pages_stream.writeStream.foreachBatch(process_batch)
@@ -87,9 +107,16 @@ def windowed_event_counts(
     )
 
 
-def _latest_labels_version(spark: SparkSession, labels_root: str) -> int | None:
-    """Largest ``v=<n>`` subdirectory under ``labels_root`` via the
-    Hadoop FS API (works on HDFS/S3A, not just local disk)."""
+def _latest_labels_version(spark: SparkSession, labels_root: str,
+                           before: int | None = None) -> int | None:
+    """Largest COMPLETE ``v=<n>`` snapshot under ``labels_root`` via the
+    Hadoop FS API (works on HDFS/S3A, not just local disk).
+
+    Complete = the ``_SUCCESS`` marker exists: a version dir whose write
+    crashed mid-flight must never be read as "previous" — its missing
+    nodes would be dropped from every later labeling.  ``before`` caps
+    the search (exclusive): a RETRIED batch must fold into the version
+    before its own, not into its own partial output."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(labels_root)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -98,8 +125,13 @@ def _latest_labels_version(spark: SparkSession, labels_root: str) -> int | None:
     versions = []
     for st in fs.listStatus(p):
         name = st.getPath().getName()
-        if name.startswith("v=") and name[2:].isdigit():
-            versions.append(int(name[2:]))
+        if not (name.startswith("v=") and name[2:].isdigit()):
+            continue
+        v = int(name[2:])
+        if before is not None and v >= before:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            versions.append(v)
     return max(versions) if versions else None
 
 
@@ -138,7 +170,6 @@ def start_kg_labels_stream(
         connected_components,
         incremental_connected_components,
     )
-    from kgspark.pipeline.runner import build_triples
 
     cfg = cfg or KgConfig()
     triples_path = os.path.join(out_dir, "triples")
@@ -146,21 +177,23 @@ def start_kg_labels_stream(
     checkpoint = os.path.join(out_dir, "_checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int):
-        if batch_df.isEmpty():
+        out = _write_batch_triples(
+            batch_df, batch_id, triples_path, cfg, from_html)
+        if out is None:
             return
         spark = batch_df.sparkSession
-        out = build_triples(batch_df, cfg, from_html=from_html)
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            triples_path
-        )
+        # edges come from the in-hand batch output (materialized by
+        # build_triples' barrier) — NOT from re-reading the accumulated
+        # triples directory, whose listing grows with every batch
         edges = (
-            spark.read.parquet(triples_path)
-            .filter(F.col("batch_id") == batch_id)
-            .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+            out.select(F.col("subject").alias("src"),
+                       F.col("object").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
-        prev_v = _latest_labels_version(spark, labels_root)
+        # before=batch_id: a retried batch folds into its predecessor's
+        # snapshot, never its own (possibly partial) earlier attempt
+        prev_v = _latest_labels_version(spark, labels_root, before=batch_id)
         if prev_v is None:
             labels = connected_components(edges)
         else:

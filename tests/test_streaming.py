@@ -178,3 +178,20 @@ def test_stream_incremental_cc_labels_match_full_cc(spark, tmp_path):
     got = {(r.node, r.component)
            for r in read_latest_labels(spark, out).collect()}
     assert got == want
+
+
+def test_latest_labels_version_skips_partial_and_own(spark, tmp_path):
+    """_latest_labels_version must ignore incomplete snapshots (no
+    _SUCCESS — a crashed write) and, with before=, a batch's own earlier
+    attempt — reading either as 'previous' would drop nodes forever."""
+    from kgspark.streaming.pipeline import _latest_labels_version
+
+    root = str(tmp_path / "cc_labels")
+    df = spark.createDataFrame([("a", "a")], "node string, component string")
+    df.write.parquet(os.path.join(root, "v=3"))
+    df.write.parquet(os.path.join(root, "v=5"))
+    os.remove(os.path.join(root, "v=5", "_SUCCESS"))  # simulate crash
+    assert _latest_labels_version(spark, root) == 3
+    df.write.mode("overwrite").parquet(os.path.join(root, "v=7"))
+    assert _latest_labels_version(spark, root) == 7
+    assert _latest_labels_version(spark, root, before=7) == 3

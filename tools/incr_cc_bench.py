@@ -50,7 +50,7 @@ def gen_edges(n: int, seed: int = 17) -> list[tuple[str, str]]:
         if i % BLOCK != BLOCK - 1:
             edges.append((f"n{i:07d}", f"n{i + 1:07d}"))
     while len(edges) < n:
-        blk = rng.randrange(n_nodes // BLOCK) * BLOCK
+        blk = rng.randrange(max(1, n_nodes // BLOCK)) * BLOCK
         a, b = blk + rng.randrange(BLOCK), blk + rng.randrange(BLOCK)
         if a != b and a < n_nodes and b < n_nodes:
             edges.append((f"n{a:07d}", f"n{b:07d}"))
