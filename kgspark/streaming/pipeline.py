@@ -209,3 +209,32 @@ def start_kg_labels_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def expire_label_versions(spark: SparkSession, out_dir: str,
+                          keep: int = 3) -> list[int]:
+    """Retention for the ``cc_labels`` snapshots: delete all but the
+    newest ``keep`` COMPLETE versions (incomplete dirs — no _SUCCESS —
+    are always deleted: they are crashed writes nothing may read).
+    Keep ≥ 2 so a retried batch can still find its predecessor.
+    Returns the deleted version numbers."""
+    jvm = spark._jvm
+    root = os.path.join(out_dir, "cc_labels")
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    complete, partial = [], []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not (name.startswith("v=") and name[2:].isdigit()):
+            continue
+        v = int(name[2:])
+        ok = fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        (complete if ok else partial).append(v)
+    doomed = sorted(complete)[:-keep] if keep > 0 else sorted(complete)
+    deleted = []
+    for v in doomed + partial:
+        if fs.delete(jvm.org.apache.hadoop.fs.Path(root, f"v={v}"), True):
+            deleted.append(v)
+    return sorted(deleted)

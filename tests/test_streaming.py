@@ -195,3 +195,21 @@ def test_latest_labels_version_skips_partial_and_own(spark, tmp_path):
     df.write.mode("overwrite").parquet(os.path.join(root, "v=7"))
     assert _latest_labels_version(spark, root) == 7
     assert _latest_labels_version(spark, root, before=7) == 3
+
+
+def test_expire_label_versions_keeps_newest_complete(spark, tmp_path):
+    from kgspark.streaming.pipeline import (
+        _latest_labels_version,
+        expire_label_versions,
+    )
+
+    out = str(tmp_path / "kg")
+    root = os.path.join(out, "cc_labels")
+    df = spark.createDataFrame([("a", "a")], "node string, component string")
+    for v in (1, 2, 4, 6):
+        df.write.parquet(os.path.join(root, f"v={v}"))
+    os.remove(os.path.join(root, "v=4", "_SUCCESS"))  # crashed write
+    deleted = expire_label_versions(spark, out, keep=2)
+    assert deleted == [1, 4]  # oldest complete + the partial
+    assert _latest_labels_version(spark, root) == 6
+    assert _latest_labels_version(spark, root, before=6) == 2
