@@ -144,7 +144,13 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
     docs yield zeros.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    doc_chars = base.select("_id", F.greatest(F.length("_text"), F.lit(1)).alias("_n"))
+    doc_chars = base.select(
+        "_id", F.greatest(F.length("_text"), F.lit(1)).alias("_n"),
+        F.coalesce(
+            F.size(F.filter(F.split("_text", r"\s+"), lambda w: w != "")),
+            F.lit(0),
+        ).alias("_nw"),
+    )
 
     def _dup_frac(split_pat: str, out_frac: str, out_char_frac: str | None):
         toks = base.select(
@@ -207,6 +213,7 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
 
     sel = [
         F.col("_id").alias(id_col),
+        F.col("_nw").alias("n_words"),
         *[
             F.coalesce(c, F.lit(0.0)).alias(c)
             for c in ("dup_line_frac", "dup_line_char_frac", "dup_para_frac")
@@ -221,13 +228,24 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
     return out.select(*sel)
 
 
-def gopher_keep(caps: dict[str, float] | None = None) -> Column:
+def gopher_keep(caps: dict[str, float] | None = None,
+                min_words: int | None = None) -> Column:
     """Boolean keep-column over ``repetition_signals`` output: every
-    signal at or below its cap (defaults: GOPHER_CAPS)."""
+    signal at or below its cap (defaults: GOPHER_CAPS).
+
+    ``min_words`` exempts documents below that word count from the
+    caps entirely: the char-fraction signals assume real-document
+    lengths (on a clean 6-word page a single 2-gram is trivially >20%
+    of all chars), and Gopher itself applies its repetition caps only
+    downstream of a 50-word minimum-length rule — a KG pipeline keeps
+    short pages rather than discarding them, so the exemption replaces
+    the removal."""
     caps = caps or GOPHER_CAPS
     cond = F.lit(True)
     for name, cap in caps.items():
         cond = cond & (F.col(name) <= F.lit(cap))
+    if min_words is not None:
+        cond = (F.col("n_words") < F.lit(min_words)) | cond
     return cond
 
 

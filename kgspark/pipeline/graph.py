@@ -204,11 +204,18 @@ def connected_components_star(
     sig = None
     converged = False
     for it in range(max_iter):
+        prev_cur = cur
         cur = star(star(cur, large=True), large=False)
         if (it + 1) % checkpoint_every == 0:
             cur = _lineage_cut(cur, materialize)
         cur = cur.persist()
-        sig = signature(cur)
+        sig = signature(cur)  # materializes cur (post-cut, independent)
+        if prev_cur is not e:
+            # release the superseded iterate NOW — leaving max_iter
+            # cached edge sets to ContextCleaner pressured the heap in
+            # long sessions (and the fallback path below would run its
+            # whole min-label loop under that dead weight)
+            prev_cur.unpersist()
         if sig == prev_sig:
             converged = True
             break
@@ -227,7 +234,10 @@ def connected_components_star(
     well_formed = (
         converged and sig[0] == cur.select("u").distinct().count())
     if not well_formed:
+        if cur is not e:
+            cur.unpersist()
         e.unpersist()
+        all_nodes.unpersist()
         return connected_components(
             edges, src=src, dst=dst, max_iter=max(max_iter * 3, 60),
             materialize=materialize)
@@ -391,7 +401,11 @@ def eigenvector_centrality(
         if (it + 1) % checkpoint_every == 0:
             new_x = _lineage_cut(new_x, materialize)
         new_x = new_x.persist()
-        if tol is not None and (it + 1) % tol_check_every == 0:
+        # the final iteration always checks (like connected_components):
+        # convergence reached on a non-multiple-of-tol_check_every last
+        # round must not raise a spurious no-convergence error
+        if tol is not None and (
+                (it + 1) % tol_check_every == 0 or it == max_iter - 1):
             delta = (
                 new_x.withColumnRenamed("score", "s_new")
                 .join(x, "node")
@@ -584,11 +598,24 @@ def louvain(
     assign: DataFrame | None = None  # original node -> current supernode
 
     for level in range(max_levels):
+        # the node universe must include LOOP-ONLY supernodes (a
+        # community that fully merged earlier contracts to a supernode
+        # with only a self-loop and no row in und): dropping them from
+        # deg/comm would (a) silently lose their original nodes at the
+        # assign-update inner join and (b) shrink 2m level over level,
+        # skewing every gain comparison — Louvain's m is conserved
+        # through contraction by construction
+        kin = und.groupBy(F.col("a").alias("node")).agg(F.sum("w").alias("_kin"))
+        nodes = (
+            und.select(F.col("a").alias("node"))
+            .union(loops.select("node"))
+            .distinct()
+        )
         deg = (
-            und.groupBy(F.col("a").alias("node"))
-            .agg(F.sum("w").alias("_kin"))
+            nodes.join(kin, "node", "left")
             .join(loops.select("node", (2 * F.col("w")).alias("_lw")), "node", "left")
-            .select("node", (F.col("_kin") + F.coalesce("_lw", F.lit(0))).alias("k"))
+            .select("node", (F.coalesce("_kin", F.lit(0))
+                             + F.coalesce("_lw", F.lit(0))).alias("k"))
             .persist()
         )
         two_m = deg.agg(F.sum("k")).collect()[0][0] or 0

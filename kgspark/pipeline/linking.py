@@ -176,8 +176,11 @@ def link_entities(triples: DataFrame, cfg: KgConfig) -> DataFrame:
     if cfg.lsh_verify == "tfidf":
         pairs = verify_tfidf_cosine(
             cands, ents.select("entity"), cfg.lsh_tfidf_threshold)
-    else:
+    elif cfg.lsh_verify == "jaccard":
         pairs = verify_jaccard(cands, cfg.lsh_jaccard_threshold)
+    else:  # a typo'd verifier must not silently run the wrong math
+        raise ValueError(
+            f"unknown lsh_verify {cfg.lsh_verify!r}: use 'jaccard' or 'tfidf'")
     comp = connected_components(pairs.select("e1", "e2"), src="e1", dst="e2")
     # canonical pick per component: most frequent, then shortest, then lexical
     with_cnt = comp.join(ents, comp["node"] == ents["entity"]).select(

@@ -95,12 +95,19 @@ def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
         # filters.
         from kgspark.ops.textstats import (cjk_char_count, gopher_keep,
                                            repetition_signals)
-        cjk_ratio = cjk_char_count(F.col("text")) / F.greatest(
-            F.length("text"), F.lit(1))
-        gated = pages.filter(cjk_ratio <= 0.05)
+        # null text (extraction happens later, from html) must pass
+        # through, not silently fail both ratio branches — coalesce to
+        # "" so such pages land in the gated branch with n_words=0 and
+        # the min_words exemption keeps them
+        txt = F.coalesce(F.col("text"), F.lit(""))
+        cjk_ratio = cjk_char_count(txt) / F.greatest(F.length(txt), F.lit(1))
+        gated = pages.withColumn("_qt", txt).filter(cjk_ratio <= 0.05)
         keep = (
-            repetition_signals(gated, "url", "text")
-            .filter(gopher_keep())
+            repetition_signals(gated, "url", "_qt")
+            # min_words=50: Gopher's repetition caps assume real-document
+            # lengths (its own pipeline length-gates first); short pages
+            # are kept, not culled, in a KG pipeline
+            .filter(gopher_keep(min_words=50))
             .select("url")
             .union(pages.filter(cjk_ratio > 0.05).select("url"))
         )

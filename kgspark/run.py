@@ -93,4 +93,9 @@ def main(argv: list[str] | None = None) -> dict:
 
 
 if __name__ == "__main__":
-    sys.exit(0 if main() is not None else 1)
+    # non-zero when any bucket group failed: orchestrators (cron/Airflow)
+    # gate on the exit code, and a partially-failed run must not read as
+    # success — the failed buckets are recorded in the manifests and will
+    # be reprocessed by the next (now-alerted) run
+    _summary = main()
+    sys.exit(1 if _summary.get("failed_buckets", 0) else 0)

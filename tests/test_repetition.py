@@ -149,3 +149,33 @@ def test_pipeline_page_dedup_keeps_min_url_per_content(spark):
     assert not any(r[0] in losers for r in dd_rows)
     assert dd_rows == {r for r in plain_rows if r[0] not in losers}
     assert any(r[0] == winner for r in dd_rows)
+
+
+def test_pipeline_quality_filter_keeps_short_and_null_text_pages(spark):
+    """The Gopher caps are length-gated (min_words=50) in the pipeline:
+    a short clean page whose single 2-gram trivially exceeds the 20%
+    char cap must survive, and a page with NULL text (extraction comes
+    later, from html) must pass through rather than failing both
+    cjk-ratio branches."""
+    import datetime as dt
+
+    from kgspark import datagen
+    from kgspark.config import KgConfig
+    from kgspark.pipeline.ingest import PAGES_SCHEMA
+    from kgspark.pipeline.runner import build_triples
+
+    clean = datagen.generate_rows(8, seed=9)
+    short_html = "<html><body><p>Acme Corp announced a merger today.</p></body></html>"
+    short = ("https://short.example/p", dt.datetime(2021, 1, 1),
+             short_html.encode(), "Acme Corp announced a merger today.", "en")
+    base = clean[0]
+    nulltext = ("https://nulltext.example/p", dt.datetime(2021, 1, 2),
+                base[2], None, "en")
+    pages = spark.createDataFrame(clean + [short, nulltext], PAGES_SCHEMA)
+
+    plain = {tuple(r) for r in build_triples(
+        pages, KgConfig(), from_html=True).collect()}
+    filt = {tuple(r) for r in build_triples(
+        pages, KgConfig(quality_filter_enabled=True), from_html=True).collect()}
+    assert filt == plain  # nothing here is spam; the gate must drop nothing
+    assert any(r[0] == "https://nulltext.example/p" for r in filt)
