@@ -141,3 +141,37 @@ def test_phase23_parity_on_generated_triples(spark):
         assert got == want
 
     run()
+
+
+def test_incremental_cc_parity_on_generated_graphs(spark):
+    """incremental_connected_components equals a full CC over the union
+    edge set for ANY graph and ANY base/batch split — randomized over
+    small colliding node pools so merges, new nodes, self-edges-ish
+    pairs, and untouched islands all occur."""
+    from kgspark.pipeline.graph import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    node = st.integers(min_value=0, max_value=25).map(lambda i: f"n{i:02d}")
+    edge = st.tuples(node, node).filter(lambda e: e[0] != e[1])
+    graphs = st.tuples(
+        st.lists(edge, min_size=1, max_size=25),  # base
+        st.lists(edge, min_size=1, max_size=6),   # batch
+    )
+
+    @given(graphs)
+    @settings(max_examples=8, deadline=None)
+    def run(split):
+        base, batch = split
+        base_df = spark.createDataFrame(base, "src string, dst string")
+        batch_df = spark.createDataFrame(batch, "src string, dst string")
+        prev = connected_components(base_df, max_iter=60)
+        got = {(r.node, r.component) for r in
+               incremental_connected_components(prev, batch_df).collect()}
+        want = {(r.node, r.component) for r in connected_components(
+            spark.createDataFrame(base + batch, "src string, dst string"),
+            max_iter=60).collect()}
+        assert got == want
+
+    run()
