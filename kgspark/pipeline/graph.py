@@ -301,11 +301,13 @@ def incremental_connected_components(
     # deliberately NOT cached: the output is returned unevaluated, so a
     # cache could only be released before the caller's action (forcing
     # recompute anyway) or leaked.  Its 2 remaining uses are plain
-    # scans of the (parquet/bucketed) labels table.
-    touched = _lineage_cut(
-        prev_labels.join(ends, "node").select("component").distinct(),
-        materialize if materialize != "none" else "localCheckpoint",
-    ).persist()
+    # scans of the (parquet/bucketed) labels table.  materialize="none"
+    # is honored (no cut, no eager job) — the caller opted out of
+    # barrier side effects and pays the re-derivation instead.
+    touched = prev_labels.join(ends, "node").select("component").distinct()
+    if materialize != "none":
+        touched = _lineage_cut(touched, materialize)
+    touched = touched.persist()
     affected = prev_labels.join(touched, "component")
     # (node → component) star edges carry all old connectivity of the
     # affected components; roots (node == component) would be self-loops

@@ -33,18 +33,23 @@ def stream_pages(spark: SparkSession, path: str, max_files_per_trigger: int = 16
 
 def _write_batch_triples(batch_df: DataFrame, batch_id: int,
                          triples_path: str, cfg: KgConfig,
-                         from_html: bool) -> DataFrame | None:
+                         from_html: bool, barrier: bool = False) -> DataFrame | None:
     """Shared per-micro-batch body: run the deterministic pipeline and
     land the batch's triples under its own ``batch_id=`` partition with
     dynamic partition overwrite — foreachBatch delivery is
     at-least-once, so a retried batch must REPLACE its partition, not
-    append a duplicate.  Returns the batch's triples DataFrame
-    (materialized by build_triples' barrier) or None if empty."""
+    append a duplicate.  Returns the batch's triples DataFrame, or None
+    if empty.  ``barrier`` cuts the returned frame's lineage first:
+    build_triples' internal barrier sits BEFORE the inference tail, so
+    a caller that consumes the result again (the labels stream) would
+    otherwise re-execute that tail per extra consumer."""
     from kgspark.pipeline.runner import build_triples
 
     if batch_df.isEmpty():
         return None
     out = build_triples(batch_df, cfg, from_html=from_html)
+    if barrier:
+        out = out.localCheckpoint(eager=True)
     (
         out.withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
@@ -107,31 +112,39 @@ def windowed_event_counts(
     )
 
 
-def _latest_labels_version(spark: SparkSession, labels_root: str,
-                           before: int | None = None) -> int | None:
-    """Largest COMPLETE ``v=<n>`` snapshot under ``labels_root`` via the
-    Hadoop FS API (works on HDFS/S3A, not just local disk).
-
-    Complete = the ``_SUCCESS`` marker exists: a version dir whose write
-    crashed mid-flight must never be read as "previous" — its missing
-    nodes would be dropped from every later labeling.  ``before`` caps
-    the search (exclusive): a RETRIED batch must fold into the version
-    before its own, not into its own partial output."""
+def _list_label_versions(
+        spark: SparkSession, labels_root: str) -> tuple[list[int], list[int]]:
+    """(complete, partial) ``v=<n>`` snapshot versions under
+    ``labels_root`` via the Hadoop FS API (works on HDFS/S3A, not just
+    local disk).  Complete = the ``_SUCCESS`` marker exists — the ONE
+    definition of snapshot completeness, shared by the reader and the
+    reaper so they can never disagree."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(labels_root)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    complete: list[int] = []
+    partial: list[int] = []
     if not fs.exists(p):
-        return None
-    versions = []
+        return complete, partial
     for st in fs.listStatus(p):
         name = st.getPath().getName()
         if not (name.startswith("v=") and name[2:].isdigit()):
             continue
         v = int(name[2:])
-        if before is not None and v >= before:
-            continue
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
-            versions.append(v)
+        ok = fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        (complete if ok else partial).append(v)
+    return sorted(complete), sorted(partial)
+
+
+def _latest_labels_version(spark: SparkSession, labels_root: str,
+                           before: int | None = None) -> int | None:
+    """Largest COMPLETE snapshot version (see ``_list_label_versions``
+    — a crashed mid-flight write must never be read as "previous": its
+    missing nodes would be dropped from every later labeling).
+    ``before`` caps the search (exclusive): a RETRIED batch must fold
+    into the version before its own, not into its own partial output."""
+    complete, _ = _list_label_versions(spark, labels_root)
+    versions = [v for v in complete if before is None or v < before]
     return max(versions) if versions else None
 
 
@@ -177,14 +190,17 @@ def start_kg_labels_stream(
     checkpoint = os.path.join(out_dir, "_checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int):
+        # barrier=True: the edges derivation below consumes `out` again,
+        # and build_triples' internal barrier sits before the inference
+        # tail — without the cut that tail would run once per consumer
         out = _write_batch_triples(
-            batch_df, batch_id, triples_path, cfg, from_html)
+            batch_df, batch_id, triples_path, cfg, from_html, barrier=True)
         if out is None:
             return
         spark = batch_df.sparkSession
-        # edges come from the in-hand batch output (materialized by
-        # build_triples' barrier) — NOT from re-reading the accumulated
-        # triples directory, whose listing grows with every batch
+        # edges come from the in-hand batch output — NOT from re-reading
+        # the accumulated triples directory, whose listing grows with
+        # every batch
         edges = (
             out.select(F.col("subject").alias("src"),
                        F.col("object").alias("dst"))
@@ -192,8 +208,19 @@ def start_kg_labels_stream(
             .distinct()
         )
         # before=batch_id: a retried batch folds into its predecessor's
-        # snapshot, never its own (possibly partial) earlier attempt
+        # snapshot, never its own (possibly partial) earlier attempt.
+        # Snapshot versions ARE streaming batch ids, so the two must
+        # stay in lockstep: a complete snapshot NEWER than this batch
+        # means the checkpoint was reset while cc_labels was kept —
+        # folding would silently mix two incompatible label lineages.
         prev_v = _latest_labels_version(spark, labels_root, before=batch_id)
+        newest = _latest_labels_version(spark, labels_root)
+        if newest is not None and newest > batch_id:
+            raise RuntimeError(
+                f"cc_labels holds snapshot v={newest} but the stream is at "
+                f"batch {batch_id}: the streaming checkpoint was reset while "
+                "cc_labels was kept. Clear out_dir/cc_labels (or restore the "
+                "checkpoint) before restarting — label versions are batch ids.")
         if prev_v is None:
             labels = connected_components(edges)
         else:
@@ -214,27 +241,38 @@ def start_kg_labels_stream(
 def expire_label_versions(spark: SparkSession, out_dir: str,
                           keep: int = 3) -> list[int]:
     """Retention for the ``cc_labels`` snapshots: delete all but the
-    newest ``keep`` COMPLETE versions (incomplete dirs — no _SUCCESS —
-    are always deleted: they are crashed writes nothing may read).
-    Keep ≥ 2 so a retried batch can still find its predecessor.
+    newest ``keep`` COMPLETE versions, plus stale incomplete dirs
+    (crashed writes nothing may read).
+
+    Two protocol guards:
+
+    * ``keep`` must be ≥ 2 (enforced): a retried batch folds into its
+      PREDECESSOR snapshot — with only the newest version retained, a
+      crash-before-checkpoint-commit retry would find no predecessor
+      and silently rebuild the labeling from one batch's edges.
+    * the NEWEST partial above every complete version is never deleted:
+      it is most likely the stream's in-flight write, and racing its
+      commit could yield a truncated dir that then gains a ``_SUCCESS``
+      marker — exactly the corruption the completeness gate exists to
+      stop.  It becomes reapable once a newer complete snapshot lands.
+
     Returns the deleted version numbers."""
+    if keep < 2:
+        raise ValueError(
+            f"keep={keep}: retention below 2 breaks the retry protocol "
+            "(a retried batch folds into its predecessor snapshot)")
     jvm = spark._jvm
     root = os.path.join(out_dir, "cc_labels")
     p = jvm.org.apache.hadoop.fs.Path(root)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
-        return []
-    complete, partial = [], []
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if not (name.startswith("v=") and name[2:].isdigit()):
-            continue
-        v = int(name[2:])
-        ok = fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
-        (complete if ok else partial).append(v)
-    doomed = sorted(complete)[:-keep] if keep > 0 else sorted(complete)
+    complete, partial = _list_label_versions(spark, root)
+    doomed = complete[:-keep]
+    max_complete = complete[-1] if complete else -1
+    in_flight = max(partial) if partial else None
+    doomed += [v for v in partial
+               if not (v == in_flight and v > max_complete)]
     deleted = []
-    for v in doomed + partial:
+    for v in doomed:
         if fs.delete(jvm.org.apache.hadoop.fs.Path(root, f"v={v}"), True):
             deleted.append(v)
     return sorted(deleted)

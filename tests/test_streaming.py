@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F, types as T
 
 from kgspark import datagen
@@ -213,3 +215,23 @@ def test_expire_label_versions_keeps_newest_complete(spark, tmp_path):
     assert deleted == [1, 4]  # oldest complete + the partial
     assert _latest_labels_version(spark, root) == 6
     assert _latest_labels_version(spark, root, before=6) == 2
+
+
+def test_labels_stream_detects_checkpoint_reset(spark, tmp_path):
+    """A complete snapshot NEWER than the current batch id means the
+    streaming checkpoint was reset while cc_labels was kept — the
+    stream must fail loudly instead of mixing two label lineages."""
+    from pyspark.errors import StreamingQueryException
+
+    from kgspark.streaming.pipeline import start_kg_labels_stream
+
+    pages_path = str(tmp_path / "pages")
+    datagen.write_pages(spark, pages_path, 10, seed=17, partitions=1)
+    out = str(tmp_path / "kg_stream")
+    spark.createDataFrame(
+        [("a", "a")], "node string, component string"
+    ).write.parquet(os.path.join(out, "cc_labels", "v=9"))
+
+    q = start_kg_labels_stream(stream_pages(spark, pages_path, 16), out, CFG)
+    with pytest.raises(StreamingQueryException, match="checkpoint was reset"):
+        q.awaitTermination(300)
