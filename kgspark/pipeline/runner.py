@@ -40,6 +40,31 @@ MANIFEST_SCHEMA = T.StructType(
 )
 
 
+def dedup_pages(pages: DataFrame, from_html: bool = True) -> DataFrame:
+    """Exact content dedup ahead of every downstream stage: one shuffle
+    keyed by content hash (128-bit md5 — collision odds negligible at
+    corpus scale), winner = lexicographically smallest url, so the
+    surviving set is deterministic under any partitioning.  Hashing the
+    raw bytes (html when present, else text) dedups before the Arrow
+    extraction pass — the whole point: duplicate pages never pay
+    extraction.
+
+    md5(NULL) is NULL: without the coalesce every null-content page
+    would collapse into ONE null-hash group and all but the min-url row
+    be silently dropped — but null content proves nothing about
+    duplication, so such pages pass through unconditionally (each forms
+    its own singleton group keyed by its url)."""
+    content = F.md5(F.col("html")) if from_html and "html" in pages.columns \
+        else F.md5(F.col("text"))
+    content = F.coalesce(content, F.col("url"))
+    winners = (
+        pages.select(content.alias("_ch"), "url")
+        .groupBy("_ch").agg(F.min("url").alias("url"))
+        .select("url")
+    )
+    return pages.join(winners, "url", "left_semi")
+
+
 def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
                   materialize: bool | str = True,
                   timings: dict | None = None,
@@ -68,21 +93,7 @@ def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
         "none" if materialize is False else materialize)
 
     if cfg.page_dedup_enabled:
-        # exact content dedup ahead of every downstream stage: one
-        # shuffle keyed by content hash (128-bit md5 — collision odds
-        # negligible at corpus scale), winner = lexicographically
-        # smallest url, so the surviving set is deterministic under any
-        # partitioning.  Hashing the raw bytes (html when present, else
-        # text) dedups before the Arrow extraction pass — the whole
-        # point: duplicate pages never pay extraction.
-        content = F.md5(F.col("html")) if from_html and "html" in pages.columns \
-            else F.md5(F.col("text"))
-        winners = (
-            pages.select(content.alias("_ch"), "url")
-            .groupBy("_ch").agg(F.min("url").alias("url"))
-            .select("url")
-        )
-        pages = pages.join(winners, "url", "left_semi")
+        pages = dedup_pages(pages, from_html=from_html)
 
     if cfg.quality_filter_enabled and "text" in pages.columns:
         # Gopher repetition caps over the shipped text column, applied as
@@ -143,15 +154,18 @@ def build_triples(pages: DataFrame, cfg: KgConfig, from_html: bool = True,
         chunks = chunking.chunk_pages(pages, cfg.chunk_size, cfg.overlap)
         out = cut(extraction.extract_raw_triples(chunks), "extract")
     if cfg.standardization_enabled:
-        # cheap broadcast proxy: the entity map has at most 2 rows per
-        # triple, so when 2×|triples| is already under the cutoff the
-        # map-sizing count (a full extra map materialization) is skipped
-        # and broadcast forced.  Only when the proxy is inconclusive does
-        # apply_entity_map persist+count the real map.  The count below
-        # scans the just-materialized barrier — no recompute.
+        # broadcast decision from the triples count alone — NO map-sizing
+        # job: the entity map has at most 2 rows per triple, so when
+        # 2×|triples| is under the cutoff broadcast is provably safe and
+        # forced.  Above the cutoff the map MIGHT still be small (heavy
+        # entity repetition), but standardize()'s url partitioning makes
+        # the shuffle joins exchange-free on the big side anyway — the
+        # mid-plan count apply_entity_map would otherwise run per
+        # invocation costs more than the missed broadcast saves.  The
+        # count below scans the just-materialized barrier — no recompute.
         bmap = None
-        if strategy != "none" and 2 * out.count() <= cfg.broadcast_map_max_rows:
-            bmap = True
+        if strategy != "none":
+            bmap = 2 * out.count() <= cfg.broadcast_map_max_rows
         out = cut(standardize.standardize(
             out, broadcast_map=bmap,
             max_broadcast_rows=cfg.broadcast_map_max_rows), "standardize")

@@ -93,6 +93,28 @@ def compact_parquet(
     hconf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(hconf)
+    # A partitioned directory compacted WITHOUT partition_col would be
+    # silently flattened (`<col>=` dirs read as a data column, rewritten
+    # unpartitioned) — after which the streaming sink's dynamic
+    # batch_id-partition overwrite no longer replaces a retried batch's
+    # rows, breaking exactly-once.  Detect `<col>=<val>` subdirectories
+    # and refuse rather than guess: auto-deriving would mask a caller
+    # that believes the layout is flat.
+    part_dirs = sorted({
+        st.getPath().getName().split("=", 1)[0]
+        for st in fs.listStatus(p)
+        if st.isDirectory() and "=" in st.getPath().getName()
+        and not st.getPath().getName().startswith((".", "_"))
+    })
+    if partition_col is None and part_dirs:
+        raise ValueError(
+            f"{path} is partitioned by {part_dirs} but partition_col is "
+            "None — compacting would flatten the partition layout; pass "
+            f"partition_col={part_dirs[0]!r}")
+    if partition_col is not None and part_dirs and partition_col not in part_dirs:
+        raise ValueError(
+            f"{path} is partitioned by {part_dirs}, not by "
+            f"partition_col={partition_col!r}")
     summary = fs.getContentSummary(p)
     n_bytes, files_before = summary.getLength(), summary.getFileCount()
     n_files = max(1, math.ceil(n_bytes / target_file_bytes))

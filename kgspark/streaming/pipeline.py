@@ -190,6 +190,24 @@ def start_kg_labels_stream(
     checkpoint = os.path.join(out_dir, "_checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        # GUARD FIRST, write second: a complete snapshot NEWER than this
+        # batch means the streaming checkpoint was reset while cc_labels
+        # was kept — folding would silently mix two incompatible label
+        # lineages.  The check must run BEFORE any write: the triples
+        # partition overwrite below would otherwise clobber the kept
+        # run's batch_id=N partition before the batch fails.
+        # (before=batch_id: a retried batch folds into its predecessor's
+        # snapshot, never its own possibly-partial earlier attempt;
+        # snapshot versions ARE streaming batch ids, lockstep by design.)
+        prev_v = _latest_labels_version(spark, labels_root, before=batch_id)
+        newest = _latest_labels_version(spark, labels_root)
+        if newest is not None and newest > batch_id:
+            raise RuntimeError(
+                f"cc_labels holds snapshot v={newest} but the stream is at "
+                f"batch {batch_id}: the streaming checkpoint was reset while "
+                "cc_labels was kept. Clear out_dir/cc_labels (or restore the "
+                "checkpoint) before restarting — label versions are batch ids.")
         # barrier=True: the edges derivation below consumes `out` again,
         # and build_triples' internal barrier sits before the inference
         # tail — without the cut that tail would run once per consumer
@@ -197,7 +215,6 @@ def start_kg_labels_stream(
             batch_df, batch_id, triples_path, cfg, from_html, barrier=True)
         if out is None:
             return
-        spark = batch_df.sparkSession
         # edges come from the in-hand batch output — NOT from re-reading
         # the accumulated triples directory, whose listing grows with
         # every batch
@@ -207,20 +224,6 @@ def start_kg_labels_stream(
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
-        # before=batch_id: a retried batch folds into its predecessor's
-        # snapshot, never its own (possibly partial) earlier attempt.
-        # Snapshot versions ARE streaming batch ids, so the two must
-        # stay in lockstep: a complete snapshot NEWER than this batch
-        # means the checkpoint was reset while cc_labels was kept —
-        # folding would silently mix two incompatible label lineages.
-        prev_v = _latest_labels_version(spark, labels_root, before=batch_id)
-        newest = _latest_labels_version(spark, labels_root)
-        if newest is not None and newest > batch_id:
-            raise RuntimeError(
-                f"cc_labels holds snapshot v={newest} but the stream is at "
-                f"batch {batch_id}: the streaming checkpoint was reset while "
-                "cc_labels was kept. Clear out_dir/cc_labels (or restore the "
-                "checkpoint) before restarting — label versions are batch ids.")
         if prev_v is None:
             labels = connected_components(edges)
         else:

@@ -234,3 +234,61 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     # partition dirs survive the rewrite
     assert sorted(d for d in os.listdir(part) if d.startswith("bucket=")) == [
         "bucket=0", "bucket=1", "bucket=2"]
+
+
+def test_compact_parquet_refuses_to_flatten_partitioned_dir(spark, tmp_path):
+    """Compacting a partitioned directory WITHOUT partition_col would
+    silently flatten the `col=` layout (breaking the streaming sink's
+    replace-on-retry partition overwrite) — it must refuse instead, and
+    likewise refuse a partition_col that doesn't match the layout."""
+    import pytest
+
+    from kgspark.pipeline.tables import compact_parquet
+
+    part = str(tmp_path / "part_guard")
+    spark.range(0, 300).selectExpr("id", "id % 3 AS batch_id").write.mode(
+        "append").partitionBy("batch_id").parquet(part)
+    with pytest.raises(ValueError, match="partitioned by \\['batch_id'\\]"):
+        compact_parquet(spark, part, target_file_bytes=1 << 30)
+    with pytest.raises(ValueError, match="not by partition_col"):
+        compact_parquet(spark, part, target_file_bytes=1 << 30,
+                        partition_col="bucket")
+    # the correct partition_col still works
+    want = {(r.id, r.batch_id) for r in spark.read.parquet(part).collect()}
+    compact_parquet(spark, part, target_file_bytes=1 << 30,
+                    partition_col="batch_id")
+    assert {(r.id, r.batch_id)
+            for r in spark.read.parquet(part).collect()} == want
+
+
+def test_runner_passes_decided_broadcast_flag_no_sizing_count(spark):
+    """build_triples must hand standardize() a DECIDED broadcast flag
+    (True/False) derived from the barriered triples count — never None,
+    which would trigger apply_entity_map's mid-plan map-sizing count
+    (one extra job per pipeline invocation)."""
+    from kgspark import datagen
+    from kgspark.config import KgConfig
+    from kgspark.pipeline import runner, standardize
+    from kgspark.pipeline.ingest import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(datagen.generate_rows(6, seed=3), PAGES_SCHEMA)
+    seen = []
+    orig = standardize.standardize
+
+    def spy(triples, broadcast_map=None, max_broadcast_rows=5_000_000, **kw):
+        seen.append(broadcast_map)
+        return orig(triples, broadcast_map=broadcast_map,
+                    max_broadcast_rows=max_broadcast_rows, **kw)
+
+    standardize.standardize = spy
+    try:
+        small = runner.build_triples(pages, KgConfig(), from_html=True)
+        rows_small = {tuple(r) for r in small.collect()}
+        big = runner.build_triples(
+            pages, KgConfig(broadcast_map_max_rows=0), from_html=True)
+        rows_big = {tuple(r) for r in big.collect()}
+    finally:
+        standardize.standardize = orig
+    assert seen == [True, False]
+    # both decisions produce identical output
+    assert rows_big == rows_small and rows_small

@@ -179,3 +179,35 @@ def test_pipeline_quality_filter_keeps_short_and_null_text_pages(spark):
         pages, KgConfig(quality_filter_enabled=True), from_html=True).collect()}
     assert filt == plain  # nothing here is spam; the gate must drop nothing
     assert any(r[0] == "https://nulltext.example/p" for r in filt)
+
+
+def test_page_dedup_passes_null_content_pages_through(spark):
+    """md5(NULL) is NULL: without the url coalesce every null-content
+    page would collapse into one null-hash group and all but the min-url
+    row be silently dropped.  Null content proves nothing about
+    duplication — every such page must survive the dedup stage."""
+    import datetime as dt
+
+    from kgspark import datagen
+    from kgspark.pipeline.ingest import PAGES_SCHEMA
+    from kgspark.pipeline.runner import dedup_pages
+
+    clean = datagen.generate_rows(6, seed=11)
+    base = clean[0]
+    nulls = [
+        ("https://null-a.example/p", dt.datetime(2021, 1, 1), None, None, "en"),
+        ("https://null-b.example/p", dt.datetime(2021, 1, 2), None, None, "en"),
+        ("https://null-c.example/p", dt.datetime(2021, 1, 3), None, None, "en"),
+    ]
+    dup = ("https://zzz.example/copy", *base[1:])
+    pages = spark.createDataFrame(clean + nulls + [dup], PAGES_SCHEMA)
+
+    survivors = {r["url"] for r in dedup_pages(pages, from_html=True).collect()}
+    # every null-content page survives; the byte-identical dup collapses
+    assert {u for u, *_ in nulls} <= survivors
+    assert "https://zzz.example/copy" not in survivors
+    assert len(survivors) == len(clean) + len(nulls)
+
+    # text-keyed path (from_html=False): null text passes through too
+    survivors_t = {r["url"] for r in dedup_pages(pages, from_html=False).collect()}
+    assert {u for u, *_ in nulls} <= survivors_t

@@ -231,7 +231,15 @@ def test_labels_stream_detects_checkpoint_reset(spark, tmp_path):
     spark.createDataFrame(
         [("a", "a")], "node string, component string"
     ).write.parquet(os.path.join(out, "cc_labels", "v=9"))
+    # sentinel: the kept run's triples partition for the batch id the
+    # reset stream will start at — the guard must fire BEFORE the batch
+    # write, or this partition would be clobbered by the overwrite
+    spark.createDataFrame(
+        [("kept-run-sentinel",)], "url string"
+    ).write.parquet(os.path.join(out, "triples", "batch_id=0"))
 
     q = start_kg_labels_stream(stream_pages(spark, pages_path, 16), out, CFG)
     with pytest.raises(StreamingQueryException, match="checkpoint was reset"):
         q.awaitTermination(300)
+    kept = spark.read.parquet(os.path.join(out, "triples", "batch_id=0"))
+    assert [r["url"] for r in kept.collect()] == ["kept-run-sentinel"]
