@@ -2,11 +2,15 @@
 
 Images/audio/video ride as ``binary`` columns with a struct of metadata;
 decode / feature-extract run as Arrow-batched ``mapInPandas`` over the
-binary column.  The actual codec step is STUBBED (no image/audio libs in
-this container): ``decode_image_meta`` computes deterministic metadata from
-the bytes (real Spark plumbing — schema, batching, partition shape — with a
-fake decoder), and ``decode_image_real`` raises ``NotImplementedError``
-unless PIL is importable.
+binary column.  Two decode paths:
+
+* ``decode_image_meta`` — cheap metadata-only variant with a
+  deterministic fake decoder (real Spark plumbing — schema, batching,
+  partition shape — no byte parsing);
+* ``decode_image_real`` — REAL container decode (BMP + PNG via the
+  dependency-free ``kgspark.kernels.image_codec``); audio/video codecs
+  (jpeg/libav) would slot into the same mapInPandas shape but need
+  native libs this container doesn't ship.
 """
 
 from __future__ import annotations
@@ -73,16 +77,108 @@ def decode_image_meta(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(decode, DECODED_SCHEMA)
 
 
-def decode_image_real(payloads: DataFrame) -> DataFrame:  # pragma: no cover
-    """Real decoder slot — requires PIL (absent in this container)."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires pillow; container ships none — "
-            "use decode_image_meta (deterministic stub) instead"
-        ) from e
-    raise NotImplementedError("real decode path not wired in this build")
+DECODED_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_pixel_bytes", T.IntegerType()),
+        T.StructField("mean_millichannel", T.LongType()),
+        T.StructField("pix_weighted", T.LongType()),
+    ]
+)
+
+
+# synthesis formula for the driver fixture (shared with the DuckDB oracle
+# in querybank.SQL_MM_DECODE_REAL — keep the two in lockstep):
+#   width  = 8 + doc_id % 9            (8..16)
+#   height = 8 + (doc_id * 3) % 7      (8..14)
+#   channel value at (x, y, c) = (doc_id + 7x + 13y + 29c) % 256
+#   container: BMP for even doc_id, PNG for odd
+def _synth_pixels(doc_id: int) -> tuple[int, int, bytes]:
+    w = 8 + doc_id % 9
+    h = 8 + (doc_id * 3) % 7
+    px = bytearray(w * h * 3)
+    i = 0
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                px[i] = (doc_id + 7 * x + 13 * y + 29 * c) % 256
+                i += 1
+    return w, h, bytes(px)
+
+
+def synth_image_payloads(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-container image fixtures: (doc_id, payload)
+    where payload is an actual BMP (even ids) or PNG (odd ids) encoding
+    of the formula pixels above — mapInPandas, so the encode cost
+    distributes like a real asset-generation stage would."""
+    from kgspark.kernels.image_codec import encode_bmp, encode_png
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("payload", T.BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def make(doc_id: int) -> bytes:
+            w, h, px = _synth_pixels(int(doc_id))
+            if doc_id % 2 == 0:
+                return encode_bmp(w, h, px)
+            return encode_png(w, h, px, channels=3)
+
+        for pdf in batches:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame({"doc_id": ids_, "payload": ids_.map(make)})
+
+    return ids.select(id_col).mapInPandas(gen, schema)
+
+
+def decode_image_real(payloads: DataFrame) -> DataFrame:
+    """REAL image decode over the opaque binary column: sniffs the
+    container (BMP / PNG — `kgspark.kernels.image_codec`, pure Python,
+    zlib-backed) and emits per-asset metadata plus two integer pixel
+    digests, all exactly replayable cross-engine:
+
+    * ``mean_millichannel`` = 1000·Σ(channel bytes) // n — brightness;
+    * ``pix_weighted``      = Σ v_i · (1 + i mod 97) over the row-major
+      RGB byte sequence — position-sensitive, so a decoder that gets
+      bytes right but ORDER wrong (unfiltering, bottom-up rows, BGR
+      swap) fails the digest.
+
+    mapInPandas: Arrow-batched, CPU-bound per batch, no shuffle — the
+    same shape a libjpeg/ffmpeg decode takes at corpus scale.  Unlike
+    the round-3 stub this is a real decode path; `decode_image_meta`
+    remains the cheap metadata-only variant."""
+    from kgspark.kernels.image_codec import decode_image
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {f.name: [] for f in DECODED_REAL_SCHEMA.fields}
+
+        def emit(doc_id, payload):
+            fmt, w, h, ch, px = decode_image(bytes(payload))
+            n = len(px)
+            rows["doc_id"].append(int(doc_id))
+            rows["fmt"].append(fmt)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_channels"].append(ch)
+            rows["n_pixel_bytes"].append(n)
+            rows["mean_millichannel"].append((sum(px) * 1000) // n if n else 0)
+            rows["pix_weighted"].append(
+                sum(v * (1 + i % 97) for i, v in enumerate(px)))
+
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                emit(doc_id, payload)
+            out = pd.DataFrame(rows)
+            for k in rows:
+                rows[k] = []
+            yield out
+
+    return payloads.mapInPandas(decode, DECODED_REAL_SCHEMA)
 
 
 def frame_sample(decoded: DataFrame, every_k: int = 2) -> DataFrame:

@@ -13,7 +13,7 @@ are computed per group in one job.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _lineage_cut(df: DataFrame, strategy: str) -> DataFrame:
@@ -786,11 +786,12 @@ def betweenness_centrality_sampled(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    k_sources: int = 64,
+    k_sources: int | None = 64,
     normalized: bool = True,
     max_depth: int = 60,
     checkpoint_every: int = 4,
     materialize: str = "localCheckpoint",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Approximate betweenness centrality for LARGE graphs: k-source
     Brandes (Brandes & Pich 2007 pivot sampling) as a fully distributed
@@ -821,38 +822,68 @@ def betweenness_centrality_sampled(
     ×1/((n-1)(n-2)) when ``normalized``) — an unbiased estimate under
     uniform sampling, a deterministic pivot approximation here.
 
-    Returns a DataFrame (node, btw) covering every node (unreached → 0).
+    ``k_sources=None`` makes EVERY node a source (exact Brandes without
+    materializing a count first).  ``group_col`` names a grouping column
+    on ``edges``: each group is an independent graph and every
+    join/groupBy key carries the group, so N per-period graphs advance
+    in ONE BFS wave per depth instead of N sequential jobs (reference
+    analog: the per-year networkx betweenness loop at
+    policy_comparative_analyzer.py:139-151).  Sources, k_eff and the
+    normalization n are then all per-group.
+
+    Returns a DataFrame ([group,] node, btw) covering every node
+    (unreached → 0).
     """
     spark = edges.sparkSession
+    # one code path: a constant group key when ungrouped (dropped on
+    # return) — the per-group estimator then degenerates to the scalars
+    gsrc = F.col(group_col) if group_col else F.lit("")
+    # und's group column is named "ug" (not "g"): every BFS frame derives
+    # from und, so a same-named equi-join condition would be flagged as an
+    # ambiguous self-join reference — distinct names keep each join
+    # condition resolvable
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(gsrc.alias("ug"), F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(gsrc.alias("ug"), F.col(dst).alias("a"),
+                            F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
     )
-    all_nodes = und.select(F.col("a").alias("node")).distinct().persist()
+    # cut the CALLER's lineage once before looping: every BFS level joins
+    # und, so the per-level logical plan would otherwise embed the input's
+    # full subtree O(depth) times — with a complex upstream (e.g. the
+    # per-period triples join) Catalyst re-analysis dominates wall time
+    # long before any executor works (same hazard the CC loops fixed)
+    und = _lineage_cut(und, materialize).persist()
+    all_nodes = und.select(F.col("ug").alias("g"),
+                           F.col("a").alias("node")).distinct().persist()
     n = all_nodes.count()
     if n == 0:
         und.unpersist()
         all_nodes.unpersist()
-        return spark.createDataFrame([], "node string, btw double")
+        schema = (f"{group_col} string, " if group_col else "") + \
+            "node string, btw double"
+        return spark.createDataFrame([], schema)
 
-    deg = und.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))
+    deg = und.groupBy(F.col("ug").alias("g"), F.col("a").alias("node")).agg(
+        F.count("*").alias("degree"))
     # No static broadcast hint here: the sources subtree also feeds unions
     # and aggregates (where a join hint is dropped with a warning), and the
     # frontier frames derived from it GROW level by level — AQE picks
     # broadcast for the genuinely small sides from runtime stats instead.
-    sources = (
-        deg.orderBy(F.col("degree").desc(), F.col("node"))
-        .limit(min(k_sources, n))
-        .select(F.col("node").alias("source"))
-    )
-    k_eff = min(k_sources, n)
+    rank_w = Window.partitionBy("g").orderBy(F.col("degree").desc(), F.col("node"))
+    ranked = deg.withColumn("_rk", F.row_number().over(rank_w))
+    if k_sources is not None:
+        ranked = ranked.filter(F.col("_rk") <= k_sources)
+    sources = ranked.select("g", F.col("node").alias("source"))
+    # per-group n and k_eff for the estimator scale (tiny: one row per
+    # group; broadcast into the final join)
+    ncnt = all_nodes.groupBy("g").agg(F.count("*").alias("_n"))
+    keff = sources.groupBy("g").agg(F.count("*").alias("_keff"))
 
-    # ---- forward BFS: visited = (source, node, dist, sigma) ----
+    # ---- forward BFS: visited = (g, source, node, dist, sigma) ----
     frontier = sources.select(
-        "source", F.col("source").alias("node"),
+        "g", "source", F.col("source").alias("node"),
         F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"),
     ).persist()
     visited = frontier
@@ -860,14 +891,15 @@ def betweenness_centrality_sampled(
     d = 0
     while d < max_depth:
         nxt = (
-            frontier.join(und, frontier["node"] == und["a"])
-            .select("source", F.col("b").alias("node"), "sigma")
-            .join(visited.select("source", "node"), ["source", "node"],
-                  "left_anti")
-            .groupBy("source", "node")
+            frontier.join(und, (frontier["g"] == und["ug"])
+                          & (frontier["node"] == und["a"]))
+            .select("g", "source", F.col("b").alias("node"), "sigma")
+            .join(visited.select("g", "source", "node"),
+                  ["g", "source", "node"], "left_anti")
+            .groupBy("g", "source", "node")
             .agg(F.sum("sigma").alias("sigma"))
             .withColumn("dist", F.lit(d + 1))
-            .select("source", "node", "dist", "sigma")
+            .select("g", "source", "node", "dist", "sigma")
         )
         if (d + 1) % checkpoint_every == 0:
             nxt = _lineage_cut(nxt, materialize)
@@ -895,27 +927,28 @@ def betweenness_centrality_sampled(
             w_frontier = w_level.withColumn("delta", F.lit(0.0))
         else:
             w_frontier = (
-                w_level.join(delta, ["source", "node"], "left")
+                w_level.join(delta, ["g", "source", "node"], "left")
                 .na.fill({"delta": 0.0})
             )
         w_frontier = w_frontier.persist()
         # credit: every non-source w at this level adds delta_w to bc[w]
         bc_parts.append(
             w_frontier.filter(F.col("node") != F.col("source"))
-            .select("node", F.col("delta").alias("c"))
+            .select("g", "node", F.col("delta").alias("c"))
         )
         prev = per_level[dd - 1].select(
-            "source", F.col("node").alias("vnode"),
+            "g", "source", F.col("node").alias("vnode"),
             F.col("sigma").alias("sigma_v"),
         )
         new_delta = (
-            w_frontier.join(und, w_frontier["node"] == und["b"])
+            w_frontier.join(und, (w_frontier["g"] == und["ug"])
+                            & (w_frontier["node"] == und["b"]))
             .select(
-                "source", F.col("a").alias("vnode"),
+                "g", "source", F.col("a").alias("vnode"),
                 ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("wt"),
             )
-            .join(prev, ["source", "vnode"])
-            .groupBy("source", F.col("vnode").alias("node"))
+            .join(prev, ["g", "source", "vnode"])
+            .groupBy("g", "source", F.col("vnode").alias("node"))
             .agg(F.sum(F.col("sigma_v") * F.col("wt")).alias("delta"))
         )
         if (d - dd + 1) % checkpoint_every == 0:
@@ -927,22 +960,31 @@ def betweenness_centrality_sampled(
         w_frontier.unpersist()
         delta = new_delta
 
-    factor = float(n) / k_eff
-    scale = 0.5 * factor
-    if normalized and n > 2:
-        scale = factor / ((n - 1) * (n - 2))
+    # per-group estimator scale: factor = n_g/k_eff_g; ÷2 undirected
+    # double count; ×1/((n_g-1)(n_g-2)) when normalized and n_g > 2
+    factor = F.col("_n") / F.col("_keff")
+    scale = F.when(
+        F.lit(normalized) & (F.col("_n") > 2),
+        factor / ((F.col("_n") - 1) * (F.col("_n") - 2)),
+    ).otherwise(F.lit(0.5) * factor)
     if bc_parts:
         acc = bc_parts[0]
         for p in bc_parts[1:]:
             acc = acc.union(p)
-        bc = acc.groupBy("node").agg((F.sum("c") * F.lit(scale)).alias("btw"))
+        bc = (
+            acc.groupBy("g", "node").agg(F.sum("c").alias("_c"))
+            .join(F.broadcast(ncnt), "g").join(F.broadcast(keff), "g")
+            .select("g", "node", (F.col("_c") * scale).alias("btw"))
+        )
     else:
-        bc = spark.createDataFrame([], "node string, btw double")
+        bc = spark.createDataFrame([], "g string, node string, btw double")
     # cut lineage from the soon-unpersisted BFS frames (strategy-pluggable;
     # "persist"/"none" keep recomputable lineage, so the unpersists below
     # only cost recompute time, never correctness)
-    out = _lineage_cut(
-        all_nodes.join(bc, "node", "left").na.fill({"btw": 0.0}), materialize)
+    out = all_nodes.join(bc, ["g", "node"], "left").na.fill({"btw": 0.0})
+    out = out.select(F.col("g").alias(group_col), "node", "btw") if group_col \
+        else out.select("node", "btw")
+    out = _lineage_cut(out, materialize)
     if delta is not None:
         delta.unpersist()
     for lvl in per_level:

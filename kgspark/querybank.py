@@ -478,6 +478,103 @@ SQL_KG_PERIOD_TOP_CENTRAL = f"""
 """
 
 
+# shared BFS horizon for the Spark query and the unrolled SQL oracle:
+# the per-period event graphs have a fixed shape (entity-variant stars,
+# diameter 4 at every sf — structure is scale-invariant), so 8 levels
+# carries margin while keeping the two engines truncation-identical by
+# construction
+_BTW_DEPTH = 8
+
+
+def q_kg_period_betweenness(spark, sf):
+    """A-9 completion: per-period top-5 entities by EXACT betweenness
+    centrality (reference policy_comparative_analyzer.py:139-151 loops
+    networkx betweenness per year; here all periods advance in ONE
+    grouped all-sources distributed Brandes wave —
+    graph.betweenness_centrality_sampled(k_sources=None,
+    group_col='period'))."""
+    from kgspark.pipeline.graph import betweenness_centrality_sampled
+    trip = _event_period_triples(spark, sf)
+    edges = trip.select("period", F.col("subject").alias("src"),
+                        F.col("object").alias("dst"))
+    out = betweenness_centrality_sampled(
+        edges, k_sources=None, normalized=False, max_depth=_BTW_DEPTH,
+        group_col="period")
+    ranked = out.select("period", F.col("node").alias("entity"),
+                        F.round("btw", 6).alias("btw"))
+    w = Window.partitionBy("period").orderBy(F.desc("btw"), "entity")
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def _period_betweenness_sql(depth: int) -> str:
+    """Exact all-sources Brandes, unrolled level-by-level (forward BFS
+    with per-level path counts, then backward dependency accumulation) —
+    the same math the grouped Spark implementation runs, replayed as
+    plain CTEs so DuckDB can verify it value-exactly."""
+    ctes = [
+        f"trip0 AS ({relational.EVENT_TRIPLES_SQL})",
+        """trip AS (SELECT trip0.*, strftime(e.ts, '%Y-%m-%d') AS period
+            FROM trip0 JOIN events e ON trip0.seq = e.event_id)""",
+        """und AS MATERIALIZED (SELECT DISTINCT period AS g, a, b FROM (
+            SELECT period, subject AS a, object AS b FROM trip
+            UNION ALL SELECT period, object, subject FROM trip)
+            WHERE a <> b)""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT g, a AS node FROM und)",
+        "f0 AS MATERIALIZED (SELECT g, node AS s, node, 1.0 AS sigma FROM nodes)",
+        "v0 AS MATERIALIZED (SELECT g, s, node FROM f0)",
+    ]
+    for k in range(1, depth + 1):
+        # frontier k = neighbors of frontier k-1, path counts summed over
+        # predecessors, minus everything already visited
+        ctes.append(f"""c{k} AS (
+            SELECT f.g, f.s, u.b AS node, sum(f.sigma) AS sigma
+            FROM f{k - 1} f JOIN und u ON f.g = u.g AND f.node = u.a
+            GROUP BY f.g, f.s, u.b)""")
+        ctes.append(f"""f{k} AS MATERIALIZED (
+            SELECT c.g, c.s, c.node, c.sigma FROM c{k} c
+            ANTI JOIN v{k - 1} v USING (g, s, node))""")
+        ctes.append(f"""v{k} AS MATERIALIZED (
+            SELECT g, s, node FROM v{k - 1}
+            UNION ALL SELECT g, s, node FROM f{k})""")
+    # backward: delta(v at level k) = Σ over BFS-tree edges (v, w at
+    # level k+1) of sigma_v/sigma_w · (1 + delta_w)
+    ctes.append(
+        f"d{depth} AS (SELECT g, s, node, sigma, 0.0 AS delta FROM f{depth})")
+    for k in range(depth - 1, 0, -1):
+        ctes.append(f"""d{k} AS MATERIALIZED (
+            SELECT f.g, f.s, f.node, f.sigma,
+                   coalesce(sum(f.sigma / w.sigma * (1.0 + w.delta)), 0.0)
+                     AS delta
+            FROM f{k} f
+            LEFT JOIN und u ON u.g = f.g AND u.a = f.node
+            LEFT JOIN d{k + 1} w ON w.g = u.g AND w.s = f.s AND w.node = u.b
+            GROUP BY f.g, f.s, f.node, f.sigma)""")
+    alld = " UNION ALL ".join(
+        f"SELECT g, node, delta FROM d{k}" for k in range(1, depth + 1))
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f""",
+    alld AS ({alld}),
+    bc AS (SELECT g, node, sum(delta) / 2 AS btw FROM alld GROUP BY g, node),
+    fin AS (
+        SELECT n.g AS period, n.node AS entity,
+               round(coalesce(b.btw, 0.0), 6) AS btw
+        FROM nodes n LEFT JOIN bc b ON n.g = b.g AND n.node = b.node)
+    SELECT period, entity, btw, rank::BIGINT AS rank
+    FROM (SELECT period, entity, btw,
+                 row_number() OVER (PARTITION BY period
+                                    ORDER BY btw DESC, entity) AS rank
+          FROM fin)
+    WHERE rank <= 5"""
+    )
+
+
+SQL_KG_PERIOD_BETWEENNESS = _period_betweenness_sql(_BTW_DEPTH)
+
+
 def q_kg_period_summary(spark, sf):
     """A-14: cross-period summary — per-period triple/entity/predicate
     counts plus share of the corpus total (reference
@@ -1140,12 +1237,44 @@ SQL_DOC_TOKENS = f"""
 """
 
 
+def q_doc_profile(spark, sf):
+    """Folded per-document profile: language-ID + quality features +
+    token counts in ONE row-wise pass (the former doc_langid /
+    doc_quality / doc_tokens driver entries, merged to free driver-budget
+    slots — all three are per-row expressions over the same text column,
+    so one query covers the same operators with one table scan)."""
+    d = relational.load(spark, sf, "documents")
+    q = textstats.quality_features(d.select("doc_id", "text", "lang"), "text")
+    return q.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textstats.langid_expr(F.col("text")).alias("lang_pred"),
+        (textstats.langid_expr(F.col("text")) == F.col("lang")).alias("label_match"),
+        F.col("q_chars").cast("long").alias("q_chars"),
+        F.col("q_words").cast("long").alias("q_words"),
+        "q_avg_word_len", "q_stopword_ratio", "q_punct_ratio",
+        "q_uniq_ratio", "q_score",
+        textstats.ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        textstats.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
 def q_doc_fingerprint(spark, sf):
     d = relational.load(spark, sf, "documents")
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         textstats.fingerprint_expr(F.col("text"), n=8).alias("fingerprint"),
     )
+
+
+SQL_DOC_PROFILE = f"""
+    SELECT l.doc_id, l.lang_pred, l.label_match,
+           q.q_chars, q.q_words, q.q_avg_word_len, q.q_stopword_ratio,
+           q.q_punct_ratio, q.q_uniq_ratio, q.q_score,
+           t.ws_tokens, t.bpe_tokens
+    FROM ({SQL_DOC_LANGID}) l
+    JOIN ({SQL_DOC_QUALITY}) q ON l.doc_id = q.doc_id
+    JOIN ({SQL_DOC_TOKENS}) t ON l.doc_id = t.doc_id
+"""
 
 
 SQL_DOC_FINGERPRINT = """
@@ -1643,6 +1772,56 @@ SQL_MM_FEATURES = """
 """
 
 
+def q_mm_decode_real(spark, sf):
+    """REAL container decode (kernels/image_codec): deterministic BMP
+    (even doc_id) / PNG with all five scanline filters (odd doc_id)
+    payloads are ENCODED in one mapInPandas pass and DECODED in another;
+    the oracle recomputes width/height/brightness and a position-weighted
+    pixel digest directly from the synthesis formula — so a decoder that
+    mis-unfilters, flips row order, or swaps BGR fails the hash."""
+    d = relational.load(spark, sf, "documents").select("doc_id")
+    payloads = multimodal.synth_image_payloads(d, "doc_id")
+    out = multimodal.decode_image_real(payloads)
+    return out.select(
+        "doc_id", "fmt",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("n_pixel_bytes").cast("long").alias("n_pixel_bytes"),
+        "mean_millichannel", "pix_weighted",
+    )
+
+
+# mirror of multimodal._synth_pixels: width = 8 + id%9, height = 8 +
+# (3·id)%7, channel (x,y,c) = (id + 7x + 13y + 29c) % 256 — the oracle
+# computes the DECODED ground truth without touching any bytes
+SQL_MM_DECODE_REAL = """
+    WITH d AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h
+        FROM documents),
+    px AS (
+        SELECT d.doc_id, d.w, d.h,
+               (d.doc_id + 7 * xs.x + 13 * ys.y + 29 * cs.c) % 256 AS v,
+               ((ys.y * d.w + xs.x) * 3 + cs.c) AS i
+        FROM d
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) xs
+        CROSS JOIN (SELECT unnest(generate_series(0, 13)) AS y) ys
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS c) cs
+        WHERE xs.x < d.w AND ys.y < d.h)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+           any_value(w)::BIGINT AS width,
+           any_value(h)::BIGINT AS height,
+           3::BIGINT AS n_channels,
+           count(*)::BIGINT AS n_pixel_bytes,
+           ((sum(v) * 1000) // count(*))::BIGINT AS mean_millichannel,
+           sum(v * (1 + i % 97))::BIGINT AS pix_weighted
+    FROM px
+    GROUP BY doc_id
+"""
+
+
 def q_mm_frame_sample(spark, sf):
     d = relational.load(spark, sf, "documents")
     decoded = multimodal.decode_image_meta(multimodal.with_payload(d, "doc_id", "text"))
@@ -1818,6 +1997,7 @@ QUERIES: dict[str, tuple] = {
     "kg_period_graph_metrics": (q_kg_period_graph_metrics, SQL_KG_PERIOD_GRAPH_METRICS),
     "kg_period_summary": (q_kg_period_summary, SQL_KG_PERIOD_SUMMARY),
     "kg_period_top_central": (q_kg_period_top_central, SQL_KG_PERIOD_TOP_CENTRAL),
+    "kg_period_betweenness": (q_kg_period_betweenness, SQL_KG_PERIOD_BETWEENNESS),
     "kg_community_inference": (q_kg_community_inference, SQL_KG_COMMUNITY_INFERENCE),
     "kg_standardize_map": (q_kg_standardize_map, SQL_KG_STANDARDIZE_MAP),
     "kg_standardized_triples": (q_kg_standardized_triples, SQL_KG_STANDARDIZED_TRIPLES),
@@ -1828,9 +2008,10 @@ QUERIES: dict[str, tuple] = {
     "kg_infer_full": (q_kg_infer_full, SQL_KG_INFER_FULL),
     "doc_chunk_oversize": (q_doc_chunk_oversize, SQL_DOC_CHUNK_OVERSIZE),
     "doc_chunk_overlap": (q_doc_chunk_overlap, SQL_DOC_CHUNK_OVERLAP),
-    "doc_langid": (q_doc_langid, SQL_DOC_LANGID),
-    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
-    "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
+    # doc_langid/doc_quality/doc_tokens folded into doc_profile (round 4)
+    # to open driver-budget slots; the standalone builders remain for
+    # bench.py and unit tests.
+    "doc_profile": (q_doc_profile, SQL_DOC_PROFILE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
@@ -1842,6 +2023,7 @@ QUERIES: dict[str, tuple] = {
     "emb_ann_topk": (q_emb_ann_topk, SQL_EMB_ANN_TOPK),
     "emb_ivf_topk": (q_emb_ivf_topk, SQL_EMB_IVF_TOPK),
     "mm_decode_meta": (q_mm_decode_meta, SQL_MM_DECODE_META),
+    "mm_decode_real": (q_mm_decode_real, SQL_MM_DECODE_REAL),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
     "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
     "mm_features": (q_mm_features, SQL_MM_FEATURES),

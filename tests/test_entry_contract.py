@@ -18,8 +18,8 @@ TABLES = [
 SUBSET = [
     "kg_top_predicates", "kg_standardize_map", "kg_transitive_inference",
     "kg_dedup_triples", "kg_connected_components", "doc_chunk_overlap",
-    "doc_quality", "dedup_exact", "dedup_lsh", "emb_topk",
-    "mm_decode_meta", "ev_sessionize",
+    "doc_profile", "dedup_exact", "dedup_lsh", "emb_topk",
+    "mm_decode_meta", "mm_decode_real", "ev_sessionize",
 ]
 
 

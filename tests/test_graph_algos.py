@@ -440,3 +440,39 @@ def test_incremental_cc_untouched_pass_through(spark):
     assert {("a", "a"), ("b", "a"), ("c", "a")} <= got
     assert {("x", "x"), ("y", "x"), ("z", "x")} <= got
     assert len(got) == 6
+
+
+def test_grouped_betweenness_equals_per_group_runs(spark):
+    """group_col: N independent graphs advancing in one BFS wave must
+    produce exactly the per-graph results (and k_sources=None = exact
+    all-sources mode needs no node count up front)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kgspark.pipeline.graph import betweenness_centrality_sampled
+
+    rnd = random.Random(13)
+    frames = {}
+    for p, (n, m) in {"p1": (14, 40), "p2": (9, 22), "p3": (17, 55)}.items():
+        es = {(f"{p}_{a}", f"{p}_{b}")
+              for a, b in ((rnd.randrange(n), rnd.randrange(n))
+                           for _ in range(m)) if a != b}
+        frames[p] = spark.createDataFrame(sorted(es), "src string, dst string")
+    both = None
+    for p, df in frames.items():
+        g = df.withColumn("period", F.lit(p))
+        both = g if both is None else both.unionByName(g)
+
+    got = {(r["period"], r["node"]): r["btw"]
+           for r in betweenness_centrality_sampled(
+               both, k_sources=None, normalized=True,
+               group_col="period").collect()}
+    want = {}
+    for p, df in frames.items():
+        for r in betweenness_centrality_sampled(
+                df, k_sources=None, normalized=True).collect():
+            want[(p, r["node"])] = r["btw"]
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
