@@ -76,7 +76,7 @@ _PAIR_GROUPS = (
     "測测渾浑湊凑湧涌源源溉溉溫温滄沧滅灭滌涤滬沪滯滞滲渗滴滴滷卤"
     "滾滚滿满漁渔漲涨漸渐潔洁潛潜潤润潰溃澀涩澆浇澇涝澤泽濁浊濕湿"
     "濟济濤涛濫滥濱滨濾滤瀉泻瀋沈瀏浏瀕濒瀝沥瀟潇灌灌灘滩灑洒灣湾"
-    "洩泄涼凉淪沦渦涡溼湿潑泼濺溅瀰弥灩滟漬渍滸浒",
+    "洩泄涼凉淪沦渦涡溼湿潑泼濺溅瀰弥灩滟漬渍滸浒淨净",
     # 火 / 灬 fire radical
     "燈灯燒烧燙烫燜焖營营燦灿燭烛爍烁爐炉爛烂煙烟煉炼煩烦熱热熒荧"
     "熾炽燴烩燻熏爆爆煒炜",
@@ -150,7 +150,7 @@ _PAIR_GROUPS = (
     "艱艰蘇苏蘋苹蘆芦蘊蕴蘑蘑蘚藓蘭兰藹蔼藻藻藥药藝艺藍蓝藺蔺薦荐"
     "薩萨蕭萧蕩荡蔣蒋蔥葱蓮莲蓽荜蓋盖蒞莅萬万萵莴萊莱菴庵莖茎莢荚"
     "莊庄荊荆蘿萝蘺蓠"
-    "虛虚號号虜虏虧亏"
+    "虛虚號号虜虏虧亏處处"
     "蟲虫蝦虾螞蚂螢萤融融蟄蛰蟈蝈蟬蝉蟻蚁蠅蝇蠆虿蠍蝎蠑蝾蠟蜡蠣蛎"
     "蠶蚕蠻蛮蛺蛱蜆蚬",
     # 行/衣/见/角/谷/豕
@@ -185,6 +185,9 @@ _PAIR_GROUPS = (
     "黽黾黿鼋鼇鳌"
     "齊齐齋斋齒齿齙龅齟龃齡龄齣出齦龈齧啮"
     "龍龙龔龚龕龛龜龟",
+    # ambiguous one-to-many characters, most-common target (the phrase
+    # layer below carries the exceptions: 乾隆, 角徵羽, 瞭望, …)
+    "乾干徵征瞭了餘余隻只傢家嚐尝噹当彆别蔔卜錶表薑姜",
     # frequent standalone simplifications
     "亂乱亞亚佇伫佈布來来侖仑併并兒儿兌兑兩两冊册再再凍冻凜凛凱凯"
     "別别刪删剄刭則则剛刚剋克剎刹剪剪割割創创劃划劇剧劈劈劉刘劊刽"
@@ -194,6 +197,42 @@ _PAIR_GROUPS = (
     "夢梦夥伙頭头奮奋妝妆姍姗娛娱婁娄嫿婳",
 )
 # fmt: on
+
+
+# ---------------------------------------------------------------------------
+# Phrase layer (longest-match, applied BEFORE the single-character pass)
+# ---------------------------------------------------------------------------
+# The same shape as OpenCC's TSPhrases dictionary: a phrase's value is its
+# FINAL simplified form — matched spans bypass the character table, so a
+# phrase can both (a) protect characters whose most-common single-char
+# target would be wrong in this context (乾隆 must keep 乾, not become
+# 干隆) and (b) force context-dependent conversions the character layer
+# cannot express (看著 → 看着 while 著名 keeps 著).  Keys are
+# Traditional; mixed/simplified input simply never matches.
+T2S_PHRASES: dict[str, str] = {
+    # 乾 qián (hexagram/era/proper names) — protect from 乾→干
+    "乾隆": "乾隆", "乾坤": "乾坤", "乾卦": "乾卦", "乾嘉": "乾嘉",
+    "乾陵": "乾陵",
+    # 徵 zhǐ (the musical note) — protect from 徵→征
+    "宮商角徵羽": "宫商角徵羽", "角徵羽": "角徵羽", "變徵": "变徵",
+    # 瞭 liào (to watch from afar) — protect from 瞭→了
+    "瞭望": "瞭望", "瞭哨": "瞭哨",
+    # 著 zhe (aspect particle) → 着; the bare character stays 著
+    # (著名/著作/顯著 are the unmarked majority in formal prose)
+    "看著": "看着", "跟著": "跟着", "接著": "接着", "隨著": "随着",
+    "照著": "照着", "沿著": "沿着", "朝著": "朝着", "向著": "向着",
+    "拿著": "拿着", "帶著": "带着", "穿著": "穿着", "忙著": "忙着",
+    "急著": "急着", "笑著": "笑着", "坐著": "坐着", "站著": "站着",
+    "躺著": "躺着", "挨著": "挨着", "意味著": "意味着",
+    "象徵著": "象征着", "本著": "本着", "有著": "有着", "留著": "留着",
+    "試著": "试着", "緊接著": "紧接着",
+    # 著 zháo/zhāo fixed expressions → 着
+    "著急": "着急", "著火": "着火", "著手": "着手", "著眼": "着眼",
+    "著陸": "着陆", "著想": "着想", "著涼": "着凉", "著迷": "着迷",
+    # 藉 jiè (by means of) → 借; 慰藉/狼藉 keep 藉 via the identity default
+    "藉口": "借口", "藉由": "借由", "藉著": "借着", "憑藉": "凭借",
+    "藉助": "借助", "藉此": "借此", "藉故": "借故",
+}
 
 
 def _build() -> dict[int, str]:

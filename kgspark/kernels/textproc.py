@@ -155,14 +155,37 @@ _T2S_LEXICON = str.maketrans({
     "數": "数", "據": "据", "標": "标", "準": "准", "連": "连", "運": "运",
 })
 
-from kgspark.kernels.t2s_table import T2S_EXTENDED  # noqa: E402
+from kgspark.kernels.t2s_table import T2S_EXTENDED, T2S_PHRASES  # noqa: E402
 
 T2S_MAP: dict[int, str] = {**T2S_EXTENDED, **_T2S_LEXICON}
+
+# longest-match-first alternation over the phrase keys: at any position
+# the regex engine tries alternatives in listed order, so sorting by
+# descending length makes 意味著 win over a shorter overlapping key
+_T2S_PHRASE_RE = re.compile(
+    "|".join(re.escape(k) for k in sorted(T2S_PHRASES, key=len, reverse=True)))
 
 
 def t2s_convert(text: str) -> str:
     """Traditional→Simplified Chinese conversion (reference analog:
-    data_processor.py:47-62 OpenCC t2s applied before chunking)."""
+    data_processor.py:47-62 OpenCC t2s applied before chunking).
+
+    Two layers, same shape as OpenCC: a longest-match phrase pass
+    (``T2S_PHRASES`` — disambiguates one-to-many characters like
+    乾/著/藉/徵/瞭 by context) whose matched spans bypass the character
+    table, then the single-character pass over everything between
+    matches."""
     if not text:
         return text
-    return text.translate(T2S_MAP)
+    m = _T2S_PHRASE_RE.search(text)
+    if m is None:  # overwhelmingly common: no phrase hit → one translate
+        return text.translate(T2S_MAP)
+    out: list[str] = []
+    pos = 0
+    while m is not None:
+        out.append(text[pos:m.start()].translate(T2S_MAP))
+        out.append(T2S_PHRASES[m.group(0)])
+        pos = m.end()
+        m = _T2S_PHRASE_RE.search(text, pos)
+    out.append(text[pos:].translate(T2S_MAP))
+    return "".join(out)

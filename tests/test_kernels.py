@@ -154,6 +154,59 @@ class TestT2S:
         assert t2s_convert("馬匹與魚類") == "马匹与鱼类"
         assert t2s_convert("鐵路橋樑連接兩岸") == "铁路桥梁连接两岸"
 
+    def test_t2s_phrase_disambiguation(self):
+        """Round-4 phrase layer (t2s_table.T2S_PHRASES, VERDICT r03 item 4):
+        one-to-many characters (乾/著/藉/徵/瞭) convert by context, matching
+        OpenCC's TSPhrases behavior the reference gets from
+        data_processor.py:47-62."""
+        from kgspark.kernels.textproc import t2s_convert
+        # 乾: qián readings keep 乾, gān readings become 干
+        assert t2s_convert("乾隆年間的乾燥氣候") == "乾隆年间的干燥气候"
+        assert t2s_convert("乾坤與乾淨") == "乾坤与干净"
+        # 著: aspect particle → 着, 著名/著作 keep 著
+        assert t2s_convert("意味著著名的著作") == "意味着著名的著作"
+        assert t2s_convert("隨著時間推移") == "随着时间推移"
+        assert t2s_convert("著手處理著陸問題") == "着手处理着陆问题"
+        # 藉: jiè → 借, 慰藉/狼藉 keep 藉
+        assert t2s_convert("藉口是憑藉慰藉") == "借口是凭借慰藉"
+        # 徵: musical note keeps 徵, zhēng → 征
+        assert t2s_convert("宮商角徵羽是特徵") == "宫商角徵羽是特征"
+        # 瞭: liào keeps 瞭, le/liǎo → 了
+        assert t2s_convert("瞭望塔上瞭解情況") == "瞭望塔上了解情况"
+
+    def test_t2s_phrase_layer_no_regression(self):
+        """Text with no phrase hit must be byte-identical to the pure
+        single-character pass (the phrase layer only rewrites matched
+        spans)."""
+        from kgspark.kernels.textproc import T2S_MAP, t2s_convert
+        for s in ("推動經濟發展。香港屬於中國。",
+                  "銀行提出購買計劃。馬匹與魚類。",
+                  "already ascii 1234", ""):
+            assert t2s_convert(s) == s.translate(T2S_MAP)
+
+    def test_t2s_phrase_pipeline_parity(self, spark):
+        """End-to-end: a Traditional paragraph containing phrase-layer
+        spans yields the same triples as its hand-simplified twin (chunk
+        parity preserved through the phrase pass)."""
+        from kgspark.config import KgConfig
+        from kgspark.pipeline import ingest
+        from kgspark.pipeline.runner import build_triples
+
+        trad = "政府藉由新政策推動發展。專家隨著時間瞭解情況。"
+        simp = "政府借由新政策推动发展。专家随着时间了解情况。"
+
+        def pages(text):
+            return spark.createDataFrame(
+                [("u", None, None, text, "zh")], schema=ingest.PAGES_SCHEMA)
+
+        a = build_triples(pages(trad), KgConfig(t2s_enabled=True),
+                          from_html=False, materialize=False)
+        b = build_triples(pages(simp), KgConfig(),
+                          from_html=False, materialize=False)
+        sa = {(r.subject, r.predicate, r.object) for r in a.collect()}
+        sb = {(r.subject, r.predicate, r.object) for r in b.collect()}
+        assert sa == sb and sa
+
     def test_traditional_pipeline_beyond_lexicon_equals_simplified(self, spark):
         """A Traditional paragraph whose vocabulary lies OUTSIDE the
         round-2 engine-lexicon table must still yield the same triples as
