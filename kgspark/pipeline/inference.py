@@ -31,97 +31,134 @@ def _edges_with_last_predicate(triples: DataFrame) -> DataFrame:
 
 
 def transitive_inference(triples: DataFrame) -> DataFrame:
-    """A→B→C ⇒ (A, f(p1,p2), C) for absent (A, C) (reference :321-361)."""
+    """A→B→C ⇒ (A, f(p1,p2), C) for absent (A, C) (reference :321-361).
+
+    Fused per url: the deduped edge list of a document is collected into
+    one array and the path join + existing-edge anti-join + distinct all
+    run as higher-order-function expressions over it.  Replaces the
+    earlier 3-consumer formulation (the edges aggregate fed a self-join
+    AND an anti-join — with no exchange boundary under the url
+    partitioning, Spark recomputed the aggregation per consumer) and its
+    three sort-merge sorts.  Safe per-group state: edges-per-url is
+    bounded by document size, never corpus size."""
     edges = _edges_with_last_predicate(triples)
-    a = edges.select(F.col("url").alias("u"), F.col("subject").alias("A"),
-                     F.col("object").alias("B"), F.col("pred").alias("p1"))
-    b = edges.select(F.col("url").alias("u2"), F.col("subject").alias("B2"),
-                     F.col("object").alias("C"), F.col("pred").alias("p2"))
-    paths = a.join(b, (a["u"] == b["u2"]) & (a["B"] == b["B2"])).filter(
-        F.col("A") != F.col("C")
-    )
-    existing = edges.select(F.col("url").alias("u"), F.col("subject").alias("A"),
-                            F.col("object").alias("C"))
-    new = paths.join(existing, ["u", "A", "C"], "left_anti")
-    pred = F.when(F.col("p1") == F.col("p2"),
-                  F.concat(F.lit("indirectly "), F.col("p1"))
-                  ).otherwise(F.concat(F.col("p1"), F.lit(" via "), F.col("B")))
-    return new.select(
-        F.col("u").alias("url"),
-        F.col("A").alias("subject"),
-        limit_predicate(pred).alias("predicate"),
-        F.col("C").alias("object"),
-    ).distinct()
+    g = edges.groupBy("url").agg(
+        F.collect_list(F.struct(F.col("subject").alias("s"),
+                                F.col("object").alias("o"),
+                                F.col("pred").alias("p"))).alias("es"))
+    es = F.col("es")
+
+    def _paths(e1):
+        # e1 chains into e2 when e1.o == e2.s; skip self-loops A == C and
+        # pairs already directly connected (the reference's existing-edge
+        # check) — then emit the reference's composed predicate
+        return F.transform(
+            F.filter(es, lambda e2: (e1["o"] == e2["s"]) & (e1["s"] != e2["o"])
+                     & ~F.exists(es, lambda ed: (ed["s"] == e1["s"]) & (ed["o"] == e2["o"]))),
+            lambda e2: F.struct(
+                e1["s"].alias("subject"),
+                limit_predicate(
+                    F.when(e1["p"] == e2["p"], F.concat(F.lit("indirectly "), e1["p"]))
+                    .otherwise(F.concat(e1["p"], F.lit(" via "), e1["o"]))
+                ).alias("predicate"),
+                e2["o"].alias("object")))
+
+    cands = F.array_distinct(F.flatten(F.transform(es, _paths)))
+    return (g.select("url", F.explode(cands).alias("t"))
+             .select("url", "t.subject", "t.predicate", "t.object"))
 
 
 def lexical_inference(triples: DataFrame) -> DataFrame:
     """Shared-word / containment inference over unconnected entity pairs
     (reference :664-755).  Pair enumeration order canonicalized to lexical
     (oracle deviation D2); shared-word pick canonicalized to longest-then-
-    smallest (D3)."""
+    smallest (D3).
+
+    Fused per url: the distinct entities of a document (with their
+    precomputed lowercase form and word set) and its canonically-oriented
+    edge set are each collected into one array; pair enumeration, the
+    connected-pair skip, and the shared-word/containment elif chain then
+    run as higher-order-function expressions.  Replaces the earlier plan
+    — a 2-consumer entity aggregate, a materialized per-url pair stream
+    (~300 rows per url through a sort-merge join), and a canonical-edge
+    anti-join — with one url-keyed join of two single-row-per-url
+    aggregates.  Entities-per-url is bounded by document size, so the
+    collected arrays stay KB-sized at any corpus scale."""
     ents = (
         triples.select("url", F.col("subject").alias("entity"))
         .union(triples.select("url", F.col("object").alias("entity")))
         .distinct()
     )
-    e1 = ents.select(F.col("url").alias("u"), F.col("entity").alias("e1"))
-    e2 = ents.select(F.col("url").alias("u2"), F.col("entity").alias("e2"))
-    pairs = e1.join(e2, (e1["u"] == e2["u2"]) & (e1["e1"] < e2["e2"])).select("u", "e1", "e2")
-
-    # skip pairs already connected in either direction (original edges
-    # only).  pairs are enumerated with e1 < e2, so one anti-join against
-    # the canonically-oriented edge set covers both directions — one
-    # shuffle instead of two.
-    edges = triples.select(
-        F.col("url").alias("u"),
-        F.least("subject", "object").alias("x"),
-        F.greatest("subject", "object").alias("y"),
-    ).distinct()
-    pairs = pairs.join(
-        edges,
-        (pairs["u"] == edges["u"]) & (pairs["e1"] == edges["x"]) & (pairs["e2"] == edges["y"]),
-        "left_anti")
-
-    l1, l2 = F.lower("e1"), F.lower("e2")
-    w1, w2 = word_set(l1), word_set(l2)
-    scored = pairs.select(
-        F.col("u").alias("url"), "e1", "e2",
-        l1.alias("l1"), l2.alias("l2"),
-        longest_smallest(F.array_intersect(w1, w2)).alias("main"),
-        (F.size(F.array_intersect(w1, w2)) > 0).alias("has_shared"),
+    enr = ents.select("url", F.struct(
+        F.col("entity").alias("e"),
+        F.lower("entity").alias("le"),
+        word_set(F.lower("entity")).alias("ws")).alias("f"))
+    # sorted by entity (unique per url) — i<j enumeration gives e1 < e2,
+    # the canonical pair order (oracle deviation D2)
+    g_ents = enr.groupBy("url").agg(F.array_sort(F.collect_list("f")).alias("fs"))
+    g_edges = (
+        triples.select(
+            "url",
+            F.struct(F.least("subject", "object").alias("x"),
+                     F.greatest("subject", "object").alias("y")).alias("k"))
+        .groupBy("url").agg(F.array_distinct(F.collect_list("k")).alias("eks"))
     )
-    # NB reference semantics: pairs WITH shared words but max shared < 4
-    # chars emit nothing and are NOT containment-checked (elif chain).
-    starts1 = F.col("l1").startswith(F.col("main"))
-    starts2 = F.col("l2").startswith(F.col("main"))
-    out = scored.select(
-        "url",
-        F.when(
-            F.col("has_shared"),
+    # same url set on both sides (both derive from the same triples)
+    g = g_ents.join(g_edges, "url")
+
+    fs, eks = F.col("fs"), F.col("eks")
+    n = F.size(fs)
+
+    def _score(i, j):
+        f1 = F.element_at(fs, i + 1)
+        f2 = F.element_at(fs, j + 1)
+        e1, l1, w1 = f1["e"], f1["le"], f1["ws"]
+        e2, l2, w2 = f2["e"], f2["le"], f2["ws"]
+        connected = F.exists(eks, lambda k: (k["x"] == e1) & (k["y"] == e2))
+        shared = F.array_intersect(w1, w2)
+        main = longest_smallest(shared)
+        starts1 = l1.startswith(main)
+        starts2 = l2.startswith(main)
+        # NB reference semantics: pairs WITH shared words but max shared
+        # < 4 chars emit nothing and are NOT containment-checked (elif
+        # chain); shared-word pick canonicalized longest-then-smallest (D3)
+        hit = (
             F.when(
-                F.length("main") >= 4,
-                F.when(starts1 & ~starts2,
-                       F.struct(F.col("e2").alias("subject"),
-                                F.lit("relates to").alias("predicate"),
-                                F.col("e1").alias("object")))
-                .when(starts2 & ~starts1,
-                      F.struct(F.col("e1").alias("subject"),
-                               F.lit("relates to").alias("predicate"),
-                               F.col("e2").alias("object")))
-                .otherwise(F.struct(F.col("e1").alias("subject"),
-                                    F.lit("related to").alias("predicate"),
-                                    F.col("e2").alias("object"))),
-            ),
+                F.size(shared) > 0,
+                F.when(
+                    F.length(main) >= 4,
+                    F.when(starts1 & ~starts2,
+                           F.struct(e2.alias("subject"),
+                                    F.lit("relates to").alias("predicate"),
+                                    e1.alias("object")))
+                    .when(starts2 & ~starts1,
+                          F.struct(e1.alias("subject"),
+                                   F.lit("relates to").alias("predicate"),
+                                   e2.alias("object")))
+                    .otherwise(F.struct(e1.alias("subject"),
+                                        F.lit("related to").alias("predicate"),
+                                        e2.alias("object"))),
+                ),
+            )
+            .when(F.instr(l2, l1) > 0,
+                  F.struct(e2.alias("subject"), F.lit("is type of").alias("predicate"),
+                           e1.alias("object")))
+            .when(F.instr(l1, l2) > 0,
+                  F.struct(e1.alias("subject"), F.lit("is type of").alias("predicate"),
+                           e2.alias("object")))
         )
-        .when(F.expr("instr(l2, l1)") > 0,
-              F.struct(F.col("e2").alias("subject"), F.lit("is type of").alias("predicate"),
-                       F.col("e1").alias("object")))
-        .when(F.expr("instr(l1, l2)") > 0,
-              F.struct(F.col("e1").alias("subject"), F.lit("is type of").alias("predicate"),
-                       F.col("e2").alias("object")))
-        .alias("t"),
-    ).filter(F.col("t").isNotNull())
-    return out.select("url", "t.subject", "t.predicate", "t.object")
+        return F.when(~connected, hit)
+
+    pair_hits = F.filter(
+        F.flatten(F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(F.sequence(i + 1, n - 1), lambda j: _score(i, j)))),
+        lambda x: x.isNotNull())
+    empty = F.array().cast(
+        "array<struct<subject:string,predicate:string,object:string>>")
+    pair_hits = F.when(n >= 2, pair_hits).otherwise(empty)
+    return (g.select("url", F.explode(pair_hits).alias("t"))
+             .select("url", "t.subject", "t.predicate", "t.object"))
 
 
 def dedup_triples(all_triples: DataFrame) -> DataFrame:

@@ -204,16 +204,20 @@ def test_multimodal_decode_contract(spark):
     assert frames.filter(F.col("frame_idx") % 2 != 0).count() == 0
 
 
-def test_decode_real_raises_without_pil(spark):
-    d = spark.read.parquet(f"{SF}/documents.parquet")
+def test_decode_real_rejects_non_image_payloads(spark):
+    """decode_image_real is a REAL decoder now (kernels.image_codec):
+    feeding it text-derived binary payloads must fail the container
+    sniff with ValueError inside the mapInPandas task — not silently
+    emit garbage rows.  (Byte-exact decode coverage lives in
+    tests/test_image_codec.py.)"""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(3)
     payloads = multimodal.with_payload(d, "doc_id", "text")
-    try:
-        import PIL  # noqa: F401
-        pytest.skip("PIL present")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_real(payloads)
+    with pytest.raises((PythonException, Py4JJavaError)) as exc:
+        multimodal.decode_image_real(payloads).collect()
+    assert "ValueError" in str(exc.value)
 
 
 def test_ivf_recall_vs_brute_force(spark):
