@@ -10,9 +10,12 @@ Stage map (SURVEY §2.4):
   O-11 entity extraction       → union + distinct
   O-12 normalize-for-blocking  → norm_key expression (codegen'd)
   O-13 blocking                → groupBy(url, normalized)
-  O-14 canonical pick          → window row_number with the reference's
-        exact tie-break (-count, len(entity), entity) — the lexical tail
-        reproduces Python's stable sort over the (-len, lex) presort
+  O-14 canonical pick          → struct-ordered min_by with the
+        reference's exact tie-break (-count, len(entity), entity) — the
+        lexical tail reproduces Python's stable sort over the (-len,
+        lex) presort; round 5 replaced the window formulation (see
+        folded_entity_map: the window output was consumed twice, and in
+        the exchange-free phase-2 region each consumer recomputed it)
   O-15 second-pass subset/stem → per-url FUSED pair scan: the distinct
         standard forms of a url are collected into one sorted array and
         the reference's sequential i<j dict-overwrite loop is replayed as
@@ -33,54 +36,16 @@ Stage map (SURVEY §2.4):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from kgspark.pipeline.exprs import limit_predicate, norm_key, stem_set, word_set
 
 
-def build_entity_map(triples: DataFrame) -> DataFrame:
-    """(url, variant, std): the variant→standard mapping of phase 2."""
-    ents = (
-        triples.select("url", F.explode(
-            F.array(F.lower("subject"), F.lower("object"))).alias("entity"))
-        .groupBy("url", "entity")
-        .agg(F.count("*").alias("cnt"))  # occurrences as subject or object
-    )
-    blocked = ents.withColumn("norm", norm_key(F.col("entity"))).filter(F.col("norm") != "")
-
-    # O-14: canonical pick per block — order (-count, char-len, lexical),
-    # broadcast to every block member as a frame-unbounded window
-    # ``first``.  Earlier rounds used min_by groupBy + join-back ("one
-    # less shuffle-sort"), but under the standardize() url partitioning
-    # NEITHER formulation exchanges, and then one window sort beats the
-    # aggregate plus the join's two sort-merge sorts — measured 3.1 s vs
-    # 4.9 s warm on a 30k-page corpus, bit-identical output (entity is
-    # unique within a block, so the order is total and deterministic).
-    block_w = (
-        Window.partitionBy("url", "norm")
-        .orderBy(F.col("cnt").desc(), F.length("entity"), F.col("entity"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    map1 = blocked.select(
-        "url", F.col("entity").alias("variant"),
-        F.first("entity").over(block_w).alias("std1"),
-    )
-
-    # O-15: second pass over distinct standard forms, per url — fused.
-    # One hash aggregation collects each url's forms into an array sorted
-    # by (len(form), form) — exactly the reference's scan rank (ws/ss are
-    # struct tail fields; the (l, form) prefix is unique per url so the
-    # sort never compares them).  The i<j pair loop then runs as
-    # expressions over that array: no window sort, no self-join, no
-    # shuffled pair stream (see module docstring for the measured win).
-    forms = map1.select("url", F.col("std1").alias("form")).distinct()
-    enr = forms.select("url", F.struct(
-        F.length("form").alias("l"), F.col("form").alias("form"),
-        word_set(F.col("form")).alias("ws"),
-        stem_set(word_set(F.col("form"))).alias("ss")).alias("f"))
-    g = enr.groupBy("url").agg(F.array_sort(F.collect_list("f")).alias("fs"))
-
-    fs = F.col("fs")
+def _override_expr(fs):
+    """O-15 second pass as pure array expressions over ``fs`` — each
+    url's distinct standard forms, (len, lex)-sorted, with precomputed
+    word/stem sets.  Returns a ``map<target, std2>`` of the dict
+    overwrites the reference's sequential i<j loop would produce."""
     n = F.size(fs)
 
     def _resolve(i, j):
@@ -117,21 +82,103 @@ def build_entity_map(triples: DataFrame) -> DataFrame:
         lambda acc, p: F.when(
             F.exists(acc, lambda a: a["target"] == p["target"]), acc
         ).otherwise(F.array_append(acc, p)))
-    extra = (
-        g.select("url", F.explode(dedup).alias("p"))
-        .select(F.col("url").alias("_u"), F.col("p.target").alias("_t"),
-                F.col("p.std2").alias("std2"))
+    return F.map_from_entries(
+        F.transform(dedup, lambda p: F.struct(p["target"], p["std2"])))
+
+
+def folded_entity_map(triples: DataFrame) -> DataFrame:
+    """(url, _m): the phase-2 variant→standard mapping, ONE
+    ``map<variant, std>`` row per url, built in a single url-ascending
+    aggregation chain — no window, no self-join, no join-back.
+
+    Round-4 shipped the O-15 fused pair scan and the single map-column
+    apply, but the map BUILD still had the multi-consumer recompute
+    hazard those fixes target: the O-14 window output (``map1``) was
+    consumed twice — once through the O-15 forms chain and once as the
+    left side of the override join-back — and under the phase's
+    exchange-free url layout each consumer recomputes the entity
+    aggregation and the window sort from scratch (BENCH.md §2b).  This
+    formulation has no fan-out anywhere:
+
+      ents agg (url, entity) → blocks agg (url, norm): O-14 canonical
+      pick as a struct-ordered ``min_by`` (same total order as the old
+      window: -count, char-len, lexical — entity is unique per block so
+      the order is total) + the block's member list → url agg: forms
+      array (sorted (len, lex), ws/ss precomputed per block row) + block
+      list → O-15 override map (``_override_expr``) applied per variant
+      with ``element_at`` → ``map_from_entries``.
+
+    Every groupBy key is url-prefixed, so the whole chain runs on the
+    single url exchange; measured at 100k pages / 8 cores the map build
+    dropped 17.4 → 6.8 s noop-written (2-core side 47.5 → 18.6 s),
+    bit-identical output (test_parity + the kg_standardize_map oracle).
+    Variant keys are unique per url (upstream groupBy(url, entity)),
+    which ``map_from_entries`` enforces."""
+    ents = (
+        triples.select("url", F.explode(
+            F.array(F.lower("subject"), F.lower("object"))).alias("entity"))
+        .groupBy("url", "entity")
+        .agg(F.count("*").alias("cnt"))  # occurrences as subject or object
+    )
+    blocked = ents.withColumn("norm", norm_key(F.col("entity"))).filter(F.col("norm") != "")
+
+    # O-14 canonical pick per (url, norm) block as min_by over the exact
+    # window order (-count, char-len, lexical); collect the block members
+    # alongside — one aggregation replaces the window sort, and no
+    # join-back is ever needed because the members travel with the pick
+    blocks = blocked.groupBy("url", "norm").agg(
+        F.min_by(
+            "entity",
+            F.struct((-F.col("cnt")).alias("nc"), F.length("entity").alias("l"),
+                     F.col("entity").alias("e")),
+        ).alias("std1"),
+        F.collect_list("entity").alias("variants"),
     )
 
-    # one-hop application on exact-key match only (reference :160-162)
-    return (
-        map1.join(
-            extra,
-            (map1["url"] == extra["_u"]) & (map1["variant"] == extra["_t"]),
-            "left",
-        )
-        .select(map1["url"], "variant", F.coalesce("std2", "std1").alias("std"))
+    # O-15 inputs: per-url sorted forms array.  std1 values are distinct
+    # per url by construction (each is a member of its own block and
+    # blocks partition the url's entities), so no distinct needed; ws/ss
+    # are computed ONCE per block row, before the url-level collect.
+    enr = blocks.select(
+        "url", "variants",
+        F.struct(
+            F.length("std1").alias("l"), F.col("std1").alias("form"),
+            word_set(F.col("std1")).alias("ws"),
+            stem_set(word_set(F.col("std1"))).alias("ss")).alias("f"),
     )
+    g = enr.groupBy("url").agg(
+        F.array_sort(F.collect_list("f")).alias("fs"),
+        F.collect_list(F.struct(F.col("f.form").alias("std1"), "variants")).alias("bs"),
+    )
+
+    # one-hop application on exact-key match only (reference :160-162):
+    # the override is keyed by the VARIANT string (old formulation joined
+    # extra on variant == target), not by the variant's block pick.
+    # map_zip_with evaluates m0 and ov ONCE per row and merges per key —
+    # an element_at(ov, v) lookup inside the per-variant lambda would
+    # instead inline (CollapseProject) and re-evaluate the whole O-15
+    # pair scan per element.  Every ov key is a standard form, i.e. a
+    # block member, i.e. a variant — so ov keys ⊆ m0 keys and the merge
+    # never invents entries.
+    m0 = F.map_from_entries(F.flatten(F.transform(
+        F.col("bs"),
+        lambda b: F.transform(
+            b["variants"],
+            lambda v: F.struct(v.alias("variant"), b["std1"].alias("std"))),
+    )))
+    ov = _override_expr(F.col("fs"))
+    return g.select(
+        "url",
+        F.map_zip_with(m0, ov, lambda k, v1, v2: F.coalesce(v2, v1)).alias("_m"))
+
+
+def build_entity_map(triples: DataFrame) -> DataFrame:
+    """(url, variant, std): the variant→standard mapping of phase 2
+    (folded_entity_map exploded back to rows — the row API the driver
+    oracle and tests consume; standardize() uses the folded form
+    directly)."""
+    return folded_entity_map(triples).select(
+        "url", F.explode("_m").alias("variant", "std"))
 
 
 def apply_entity_map(triples: DataFrame, entity_map: DataFrame,
@@ -167,10 +214,19 @@ def apply_entity_map(triples: DataFrame, entity_map: DataFrame,
     # here means the map builder broke that invariant.
     maps = entity_map.groupBy("url").agg(
         F.map_from_entries(F.collect_list(F.struct("variant", "std"))).alias("_m"))
-    m = F.broadcast(maps) if broadcast_map else maps
-    out = triples.join(
-        m.select(F.col("url").alias("_u"), "_m"),
-        triples["url"] == F.col("_u"), "left")
+    return _apply_folded(triples, maps, broadcast_map)
+
+
+def _apply_folded(triples: DataFrame, maps: DataFrame,
+                  broadcast_map: bool) -> DataFrame:
+    """O-16 application given the already-folded (url, _m) map."""
+    # DataFrame-qualified join refs: maps derives from the same triples
+    # lineage, and an unqualified F.col("_u") can resolve into the other
+    # side of the self-join — Catalyst then folds the condition away and
+    # plans a conditionless BroadcastNestedLoopJoin (a cartesian product)
+    rhs = maps.select(F.col("url").alias("_u"), "_m")
+    m = F.broadcast(rhs) if broadcast_map else rhs
+    out = triples.join(m, triples["url"] == rhs["_u"], "left")
     keep = [c for c in triples.columns if c not in ("subject", "predicate", "object", "chunk")]
     return (
         out.select(
@@ -193,13 +249,23 @@ def standardize(triples: DataFrame, broadcast_map: bool | None = None,
     """Full phase 2: build the per-url entity map and apply it.
 
     ``partition_by_url`` hash-partitions the input on ``url`` ONCE up
-    front: every phase-2 groupBy / window / self-join key is
-    url-prefixed, and HashPartitioning(url) satisfies each of their
-    ClusteredDistribution requirements, so Catalyst drops the per-stage
-    exchanges — one shuffle where the naive plan runs ~6 (plan-asserted
-    in tests).  The reference is per-document, so per-url partitioning
-    is also the semantically natural layout."""
+    front: every phase-2 groupBy / self-join key is url-prefixed, and
+    HashPartitioning(url) satisfies each of their ClusteredDistribution
+    requirements, so Catalyst drops the per-stage exchanges — one
+    shuffle where the naive plan runs ~6 (plan-asserted in tests).  The
+    reference is per-document, so per-url partitioning is also the
+    semantically natural layout.
+
+    Uses folded_entity_map directly (never the exploded row form), so
+    the map subtree is built once and folded zero extra times.  A
+    ``broadcast_map=None`` sizing decision counts total map ENTRIES
+    (sum of per-url map sizes — the same row count the old
+    entity_map.count() measured), one extra job on the undecided path
+    only (the runner always passes a decided flag; plan-asserted)."""
     if partition_by_url:
         triples = triples.repartition(F.col("url"))
-    return apply_entity_map(triples, build_entity_map(triples),
-                            broadcast_map, max_broadcast_rows)
+    maps = folded_entity_map(triples)
+    if broadcast_map is None:
+        n = maps.select(F.sum(F.size("_m")).alias("n")).first()["n"] or 0
+        broadcast_map = n <= max_broadcast_rows
+    return _apply_folded(triples, maps, broadcast_map)

@@ -37,9 +37,13 @@ def test_scan_pushdown_and_pruning(spark):
 
 
 def test_entity_map_apply_is_broadcast_join(spark):
+    """Needs a MULTI-url source: on a single-literal-url fixture Catalyst
+    constant-folds the url==url join condition to true and plans a
+    conditionless 1-row BroadcastNestedLoopJoin — semantically fine
+    there, but not the shape a real corpus (varying urls) produces."""
     from kgspark.pipeline import relational, standardize
 
-    trip = relational.event_triples(spark, SF)
+    trip = relational.geo_triples(spark, SF)
     out = standardize.standardize(trip)
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan
@@ -48,10 +52,11 @@ def test_entity_map_apply_is_broadcast_join(spark):
 def test_entity_map_broadcast_cutoff(spark):
     """broadcast_map_max_rows is live: above the cutoff the map apply
     must shuffle (no broadcast of a corpus-proportional map — VERDICT r01
-    item 2), below it broadcast; both paths bit-identical."""
+    item 2), below it broadcast; both paths bit-identical.  Multi-url
+    source for the same reason as test_entity_map_apply_is_broadcast_join."""
     from kgspark.pipeline import relational, standardize
 
-    trip = relational.event_triples(spark, SF)
+    trip = relational.geo_triples(spark, SF)
     emap = standardize.build_entity_map(trip)
 
     small = standardize.apply_entity_map(trip, emap, max_broadcast_rows=10**9)
