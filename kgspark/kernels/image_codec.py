@@ -30,6 +30,15 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
+# Below this many pixel bytes the scalar path wins: per-call numpy
+# overhead (frombuffer/reshape/tobytes) exceeds the loop cost on the
+# 8-16 px synthetic assets, while real-sized images (the 100 TB case)
+# are decoded wholesale in C.  Tests drive both paths explicitly and
+# assert byte-identical output (the scalar path IS the oracle).
+_VEC_MIN_BYTES = 2048
+
 # ---------------------------------------------------------------------------
 # BMP (24-bit BI_RGB)
 # ---------------------------------------------------------------------------
@@ -68,9 +77,13 @@ def encode_bmp(width: int, height: int, rgb: bytes, top_down: bool = False) -> b
     return header + dib + pixel_data
 
 
-def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+def decode_bmp(data: bytes, vectorized: bool | None = None) -> tuple[int, int, int, bytes]:
     """Decode a 24-bit uncompressed BMP → (width, height, channels=3,
-    row-major top-down RGB bytes)."""
+    row-major top-down RGB bytes).
+
+    ``vectorized=None`` auto-picks: numpy strided views for the row
+    un-shuffle + BGR→RGB flip when the pixel area clears
+    ``_VEC_MIN_BYTES``, the scalar loop (the parity oracle) below it."""
     if len(data) < _BMP_HEADER_SIZE + _DIB_MIN_SIZE or data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", data, 10)[0]
@@ -89,6 +102,15 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     row_size = (3 * width + 3) & ~3
     if offset + row_size * height > len(data):
         raise ValueError("truncated BMP pixel data")
+    if vectorized is None:
+        vectorized = 3 * width * height >= _VEC_MIN_BYTES
+    if vectorized:
+        rows = np.frombuffer(data, np.uint8, row_size * height, offset)
+        px = rows.reshape(height, row_size)[:, : 3 * width]
+        px = px.reshape(height, width, 3)
+        if not top_down:
+            px = px[::-1]
+        return width, height, 3, px[:, :, ::-1].tobytes()
     out = bytearray(width * height * 3)
     for i in range(height):
         y = i if top_down else height - 1 - i
@@ -170,10 +192,39 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+def _unfilter_row_scalar(ftype: int, filt, prev, channels: int):
+    """Scalar reconstruction of one scanline (the parity oracle, and the
+    live path for Average/Paeth: both reconstruct through the LEFT
+    neighbor — ``(a+b)//2`` / the Paeth argmin — a nonlinear recurrence
+    in x that no prefix-sum trick linearizes)."""
+    stride = len(filt)
+    row = bytearray(filt)
+    for i in range(stride):
+        a = row[i - channels] if i >= channels else 0
+        b = prev[i]
+        c = prev[i - channels] if i >= channels else 0
+        if ftype == 1:
+            row[i] = (row[i] + a) & 0xFF
+        elif ftype == 2:
+            row[i] = (row[i] + b) & 0xFF
+        elif ftype == 3:
+            row[i] = (row[i] + (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            row[i] = (row[i] + _paeth(a, b, c)) & 0xFF
+    return row
+
+
+def decode_png(data: bytes, vectorized: bool | None = None) -> tuple[int, int, int, bytes]:
     """Decode an 8-bit non-interlaced PNG → (width, height, channels,
     row-major pixel bytes).  Verifies chunk CRCs; supports color types
-    0/2/4/6 and all five scanline filters."""
+    0/2/4/6 and all five scanline filters.
+
+    ``vectorized=None`` auto-picks the numpy unfilter when the pixel
+    area clears ``_VEC_MIN_BYTES``: None copies, Up is one wrapping
+    uint8 row add, Sub is a per-lane prefix sum mod 256 (the recurrence
+    is linear, so ``cumsum & 0xFF`` reconstructs it exactly); Average
+    and Paeth stay scalar per row — their left-neighbor recurrence is
+    nonlinear (integer halving / argmin), inherently sequential in x."""
     if not data.startswith(PNG_SIGNATURE):
         raise ValueError("not a PNG payload")
     pos = len(PNG_SIGNATURE)
@@ -209,25 +260,44 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data size mismatch")
+    if vectorized is None:
+        vectorized = stride * height >= _VEC_MIN_BYTES
+    if vectorized:
+        arr = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+        ftypes = arr[:, 0]
+        bad = ftypes[ftypes > 4]
+        if bad.size:
+            raise ValueError(f"bad PNG filter type {int(bad[0])}")
+        out_a = np.empty((height, stride), np.uint8)
+        prev_a = np.zeros(stride, np.uint8)
+        for y in range(height):
+            ftype = int(ftypes[y])
+            filt = arr[y, 1:]
+            if ftype == 0:
+                row_a = filt.copy()
+            elif ftype == 2:
+                row_a = filt + prev_a  # uint8 add wraps mod 256
+            elif ftype == 1:
+                lanes = filt.reshape(-1, channels).astype(np.int64)
+                row_a = (np.cumsum(lanes, axis=0) & 0xFF) \
+                    .astype(np.uint8).reshape(-1)
+            else:  # 3 / 4: sequential left-neighbor recurrence
+                row_a = np.frombuffer(
+                    bytes(_unfilter_row_scalar(ftype, filt.tobytes(),
+                                               prev_a.tobytes(), channels)),
+                    np.uint8)
+            out_a[y] = row_a
+            prev_a = out_a[y]
+        return width, height, channels, out_a.tobytes()
     out = bytearray(stride * height)
     prev = bytes(stride)
     for y in range(height):
         ftype = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
         if ftype > 4:
             raise ValueError(f"bad PNG filter type {ftype}")
-        for i in range(stride):
-            a = row[i - channels] if i >= channels else 0
-            b = prev[i]
-            c = prev[i - channels] if i >= channels else 0
-            if ftype == 1:
-                row[i] = (row[i] + a) & 0xFF
-            elif ftype == 2:
-                row[i] = (row[i] + b) & 0xFF
-            elif ftype == 3:
-                row[i] = (row[i] + (a + b) // 2) & 0xFF
-            elif ftype == 4:
-                row[i] = (row[i] + _paeth(a, b, c)) & 0xFF
+        row = _unfilter_row_scalar(
+            ftype, raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)],
+            prev, channels)
         out[y * stride:(y + 1) * stride] = row
         prev = bytes(row)
     return width, height, channels, bytes(out)
@@ -237,11 +307,13 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 # format sniffing
 # ---------------------------------------------------------------------------
 
-def decode_image(data: bytes) -> tuple[str, int, int, int, bytes]:
+def decode_image(data: bytes, vectorized: bool | None = None
+                 ) -> tuple[str, int, int, int, bytes]:
     """Sniff the container by magic bytes and decode →
-    (format, width, height, channels, row-major pixel bytes)."""
+    (format, width, height, channels, row-major pixel bytes).
+    ``vectorized`` forwards to the codec (None = size-based auto)."""
     if data[:2] == b"BM":
-        return ("bmp", *decode_bmp(data))
+        return ("bmp", *decode_bmp(data, vectorized=vectorized))
     if data.startswith(PNG_SIGNATURE):
-        return ("png", *decode_png(data))
+        return ("png", *decode_png(data, vectorized=vectorized))
     raise ValueError(f"unrecognized image container (magic={data[:4]!r})")

@@ -136,6 +136,33 @@ def synth_image_payloads(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(gen, schema)
 
 
+_DIGEST_W = None  # lazily-grown 1 + i%97 weight vector, shared per worker
+
+
+def pixel_digests(px: bytes) -> tuple[int, int]:
+    """(mean_millichannel, pix_weighted) over a row-major pixel byte
+    sequence — numpy int64 sums (exact: n·255·97 < 2^63 up to ~10^15
+    pixel bytes, far past any single asset).  ``pixel_digests_scalar``
+    is the pure-Python oracle the tests compare against."""
+    import numpy as np
+    global _DIGEST_W
+    n = len(px)
+    if not n:
+        return 0, 0
+    if _DIGEST_W is None or len(_DIGEST_W) < n:
+        _DIGEST_W = 1 + np.arange(max(n, 1 << 20), dtype=np.int64) % 97
+    a = np.frombuffer(px, np.uint8).astype(np.int64)
+    return int(a.sum()) * 1000 // n, int((a * _DIGEST_W[:n]).sum())
+
+
+def pixel_digests_scalar(px: bytes) -> tuple[int, int]:
+    """Scalar parity oracle for ``pixel_digests``."""
+    n = len(px)
+    if not n:
+        return 0, 0
+    return (sum(px) * 1000) // n, sum(v * (1 + i % 97) for i, v in enumerate(px))
+
+
 def decode_image_real(payloads: DataFrame) -> DataFrame:
     """REAL image decode over the opaque binary column: sniffs the
     container (BMP / PNG — `kgspark.kernels.image_codec`, pure Python,
@@ -166,9 +193,9 @@ def decode_image_real(payloads: DataFrame) -> DataFrame:
             rows["height"].append(h)
             rows["n_channels"].append(ch)
             rows["n_pixel_bytes"].append(n)
-            rows["mean_millichannel"].append((sum(px) * 1000) // n if n else 0)
-            rows["pix_weighted"].append(
-                sum(v * (1 + i % 97) for i, v in enumerate(px)))
+            m, pw = pixel_digests(px)
+            rows["mean_millichannel"].append(m)
+            rows["pix_weighted"].append(pw)
 
         for pdf in batches:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -225,17 +252,20 @@ def byte_histogram_features(payloads: DataFrame, dim: int = 16) -> DataFrame:
     real mapInPandas batch shape (Arrow in, Arrow out, no shuffle)."""
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         def hist(b: bytes) -> list[float]:
             n = len(b)
             if not n:
                 return [0.0] * dim
-            counts = [0] * dim
-            for byte in b:
-                counts[byte % dim] += 1
+            counts = np.bincount(
+                np.frombuffer(b, np.uint8) % dim, minlength=dim
+            ).astype(np.int64)
             # integer round-half-up to 6dp: Python round() is banker's,
             # SQL round is half-away — integer arithmetic matches both
-            # engines' doubles exactly
-            return [((2_000_000 * c + n) // (2 * n)) / 1e6 for c in counts]
+            # engines' doubles exactly (int64 // is floor division for
+            # these non-negative operands, same as Python's)
+            return ((2_000_000 * counts + n) // (2 * n)) / 1e6
 
         for pdf in batches:
             yield pd.DataFrame(

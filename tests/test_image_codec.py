@@ -97,6 +97,38 @@ def test_sniffing_and_malformed_rejection():
         decode_bmp(bmp[:-8])
 
 
+@pytest.mark.parametrize("w,h", [(64, 48), (127, 33), (256, 64)])
+def test_bmp_vectorized_matches_scalar(w, h):
+    """The numpy decode path (row un-shuffle + BGR flip as strided
+    views) is byte-identical to the scalar loop — the scalar path IS
+    the oracle (VERDICT r4 item 3)."""
+    px = _noise(w * h * 3, seed=w ^ h)
+    for td in (False, True):
+        data = encode_bmp(w, h, px, top_down=td)
+        assert decode_bmp(data, vectorized=True) == \
+            decode_bmp(data, vectorized=False) == (w, h, 3, px)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_vectorized_matches_scalar(channels):
+    """numpy unfilter (None copy, Up row-add, Sub per-lane cumsum mod
+    256; Average/Paeth scalar rows) == the all-scalar decode, for a
+    height that cycles every filter type several times."""
+    w, h = 61, 23
+    px = _noise(w * h * channels, seed=1000 + channels)
+    data = encode_png(w, h, px, channels)
+    assert decode_png(data, vectorized=True) == \
+        decode_png(data, vectorized=False) == (w, h, channels, px)
+
+
+def test_pixel_digests_vectorized_matches_scalar():
+    from kgspark.ops.multimodal import pixel_digests, pixel_digests_scalar
+
+    for seed, n in ((1, 0), (2, 1), (3, 97), (4, 98), (5, 10_000)):
+        px = _noise(n, seed)
+        assert pixel_digests(px) == pixel_digests_scalar(px)
+
+
 def test_spark_decode_real_matches_formula(spark):
     """encode (mapInPandas) → decode (mapInPandas) recovers exactly the
     synthesis-formula metadata + position-weighted digest for both
