@@ -10,10 +10,15 @@
 # warm-up job excluded from the timed window.
 #
 # Corpora (deterministic, no external data) are generated with:
-#   python -c "from kgspark import datagen; datagen.write_pages_distributed(
-#       '/dev/shm/pages300k', n_pages=300000, n_files=64)"
-# (600k -> n_files=128, 1.2M -> n_files=256; seeds are per-page, so
-# the corpus is byte-stable across runs and machines.)
+#   python -c "from kgspark.session import get_session;
+#       from kgspark import datagen;
+#       datagen.write_pages_distributed(get_session(), '/dev/shm/pages300k',
+#                                       n_pages=300000, partitions=64)"
+# (600k -> partitions=128, 1.2M -> partitions=256; seeds are per-page,
+# so the corpus is byte-stable across runs and machines.)
+#
+# Superseded by tools/campaign_r5.sh (adds the 2.4M point, per-cell
+# stderr logs, and a trial-start marker); kept as the round-4 record.
 #
 # Protocol notes (BENCH.md §2):
 #  - run on an otherwise-idle box; host contention is strictly
