@@ -792,6 +792,7 @@ def betweenness_centrality_sampled(
     checkpoint_every: int = 4,
     materialize: str = "localCheckpoint",
     group_col: str | None = None,
+    require_converged: bool = False,
 ) -> DataFrame:
     """Approximate betweenness centrality for LARGE graphs: k-source
     Brandes (Brandes & Pich 2007 pivot sampling) as a fully distributed
@@ -830,6 +831,15 @@ def betweenness_centrality_sampled(
     analog: the per-year networkx betweenness loop at
     policy_comparative_analyzer.py:139-151).  Sources, k_eff and the
     normalization n are then all per-group.
+
+    ``require_converged`` guards the BFS horizon (VERDICT r4 item 4):
+    when the wave still has a live frontier at ``max_depth``, one extra
+    level is probed and, if non-empty, ValueError is raised instead of
+    silently truncating shortest paths — callers whose oracle unrolls
+    the same fixed horizon (kg_period_betweenness) pass True so a
+    diameter beyond the horizon can never produce a wrong-but-matching
+    pair of results; auto-extending is deliberately NOT offered there
+    because the SQL replay cannot extend with it.
 
     Returns a DataFrame ([group,] node, btw) covering every node
     (unreached → 0).
@@ -889,6 +899,7 @@ def betweenness_centrality_sampled(
     visited = frontier
     per_level: list[DataFrame] = [frontier]
     d = 0
+    converged = False
     while d < max_depth:
         nxt = (
             frontier.join(und, (frontier["g"] == und["ug"])
@@ -906,6 +917,7 @@ def betweenness_centrality_sampled(
         nxt = nxt.persist()
         if nxt.isEmpty():
             nxt.unpersist()
+            converged = True
             break
         new_visited = visited.union(nxt)
         if (d + 1) % checkpoint_every == 0:
@@ -917,6 +929,24 @@ def betweenness_centrality_sampled(
         frontier = nxt
         d += 1
         per_level.append(nxt)
+
+    if require_converged and not converged:
+        # probe ONE level past the horizon: a non-empty frontier there
+        # means real shortest paths were truncated — fail loudly rather
+        # than return silently-wrong centralities
+        probe = (
+            frontier.join(und, (frontier["g"] == und["ug"])
+                          & (frontier["node"] == und["a"]))
+            .select("g", "source", F.col("b").alias("node"))
+            .join(visited.select("g", "source", "node"),
+                  ["g", "source", "node"], "left_anti")
+        )
+        if not probe.isEmpty():
+            raise ValueError(
+                f"BFS frontier still live past max_depth={max_depth}: the "
+                "graph diameter exceeds the horizon; raise max_depth (and "
+                "any oracle unrolled to the same depth) instead of "
+                "accepting truncated betweenness")
 
     # ---- backward accumulation over BFS-tree edges, deepest first ----
     bc_parts: list[DataFrame] = []

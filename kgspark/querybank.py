@@ -499,7 +499,7 @@ def q_kg_period_betweenness(spark, sf):
                         F.col("object").alias("dst"))
     out = betweenness_centrality_sampled(
         edges, k_sources=None, normalized=False, max_depth=_BTW_DEPTH,
-        group_col="period")
+        group_col="period", require_converged=True)
     ranked = out.select("period", F.col("node").alias("entity"),
                         F.round("btw", 6).alias("btw"))
     w = Window.partitionBy("period").orderBy(F.desc("btw"), "entity")
@@ -1255,6 +1255,10 @@ def q_doc_profile(spark, sf):
         "q_uniq_ratio", "q_score",
         textstats.ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
         textstats.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+        # round 5: the former doc_fingerprint driver entry folded in
+        # (another per-row expression over the same text column) to free
+        # a driver-budget slot for doc_gopher/dedup_pages
+        textstats.fingerprint_expr(F.col("text"), n=8).alias("fingerprint"),
     )
 
 
@@ -1264,17 +1268,6 @@ def q_doc_fingerprint(spark, sf):
         F.col("doc_id").cast("long").alias("doc_id"),
         textstats.fingerprint_expr(F.col("text"), n=8).alias("fingerprint"),
     )
-
-
-SQL_DOC_PROFILE = f"""
-    SELECT l.doc_id, l.lang_pred, l.label_match,
-           q.q_chars, q.q_words, q.q_avg_word_len, q.q_stopword_ratio,
-           q.q_punct_ratio, q.q_uniq_ratio, q.q_score,
-           t.ws_tokens, t.bpe_tokens
-    FROM ({SQL_DOC_LANGID}) l
-    JOIN ({SQL_DOC_QUALITY}) q ON l.doc_id = q.doc_id
-    JOIN ({SQL_DOC_TOKENS}) t ON l.doc_id = t.doc_id
-"""
 
 
 SQL_DOC_FINGERPRINT = """
@@ -1288,6 +1281,155 @@ SQL_DOC_FINGERPRINT = """
           AS fingerprint
     FROM w
 """
+
+
+SQL_DOC_PROFILE = f"""
+    SELECT l.doc_id, l.lang_pred, l.label_match,
+           q.q_chars, q.q_words, q.q_avg_word_len, q.q_stopword_ratio,
+           q.q_punct_ratio, q.q_uniq_ratio, q.q_score,
+           t.ws_tokens, t.bpe_tokens, fp.fingerprint
+    FROM ({SQL_DOC_LANGID}) l
+    JOIN ({SQL_DOC_QUALITY}) q ON l.doc_id = q.doc_id
+    JOIN ({SQL_DOC_TOKENS}) t ON l.doc_id = t.doc_id
+    JOIN ({SQL_DOC_FINGERPRINT}) fp ON l.doc_id = fp.doc_id
+"""
+
+
+def _docs_with_lines(spark, sf):
+    """documents re-lined for the Gopher repetition signals: the corpus
+    text has no newlines, so ' table ' becomes a line break and ' part '
+    a paragraph break (blank line) — both frequent corpus words; every
+    5th doc is then duplicated line-wise (text + NL + text), planting
+    dup_line_frac ≈ 0.5 pages the caps must cull.  Both rewrites are
+    plain leftmost non-overlapping string replaces, replayed literally
+    in the oracle."""
+    d = relational.load(spark, sf, "documents").select("doc_id", "text")
+    lined = d.select(
+        "doc_id",
+        F.replace(F.replace(F.col("text"), F.lit(" table "), F.lit("\n")),
+                  F.lit(" part "), F.lit("\n\n")).alias("_t0"))
+    return lined.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat("_t0", F.lit("\n"), "_t0"))
+        .otherwise(F.col("_t0")).alias("text"))
+
+
+def q_doc_gopher(spark, sf):
+    """Gopher/RefinedWeb repetition-quality gate (the production
+    page-level quality filter, runner.build_triples → textstats
+    .repetition_signals/gopher_keep): per-doc dup-line/para fractions,
+    top-n-gram char coverage, and the keep flag under the production
+    caps + 50-word exemption.  VERDICT r4 item 1: previously
+    pytest-only; the explode→groupBy shape is directly SQL-replayable."""
+    from kgspark.ops.textstats import gopher_keep, repetition_signals
+    docs = _docs_with_lines(spark, sf)
+    sig = repetition_signals(docs, "doc_id", "text")
+    return sig.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "top2_char_frac", "top3_char_frac", "top4_char_frac",
+        gopher_keep(min_words=50).alias("keep"),
+    )
+
+
+def _gopher_sql() -> str:
+    """DuckDB replay of repetition_signals + gopher_keep over the same
+    re-lined corpus: per-token explode→group fractions, per-n argmax by
+    (count, gram length, gram) — Spark's max(struct(c,l,g)) — and the
+    caps applied to the ROUNDED output values, exactly as gopher_keep
+    sees them."""
+    gram_ctes, gram_joins, gram_cols, keep_terms = [], [], [], []
+    caps = {"dup_line_frac": 0.30, "dup_line_char_frac": 0.20,
+            "dup_para_frac": 0.30, "top2_char_frac": 0.20,
+            "top3_char_frac": 0.18, "top4_char_frac": 0.16}
+    for n in (2, 3, 4):
+        gram_ctes.append(f"""g{n} AS (
+        SELECT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS g
+        FROM words, unnest(generate_series(1, len(ws) - {n - 1})) AS t(i)
+        WHERE len(ws) >= {n}),
+    gc{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g),
+    gt{n} AS (
+        SELECT doc_id, (c * length(g)) AS top{n}
+        FROM (SELECT doc_id, g, c, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY c DESC, length(g) DESC, g DESC) AS rn
+              FROM gc{n})
+        WHERE rn = 1)""")
+        gram_joins.append(f"LEFT JOIN gt{n} USING (doc_id)")
+        gram_cols.append(
+            f"round(coalesce(top{n}, 0) * 1.0 / n, 6) AS top{n}_char_frac")
+    for name, cap in caps.items():
+        keep_terms.append(f"{name} <= {cap}")
+    gram_ctes_sql = ",\n    ".join(gram_ctes)
+    gram_cols_sql = ",\n               ".join(gram_cols)
+    gram_joins_sql = " ".join(gram_joins)
+    keep_sql = " AND ".join(keep_terms)
+    return f"""
+    WITH lined AS (
+        SELECT doc_id,
+               replace(replace(text, ' table ', chr(10)),
+                       ' part ', chr(10) || chr(10)) AS t0
+        FROM documents),
+    corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN t0 || chr(10) || t0 ELSE t0 END
+                 AS text
+        FROM lined),
+    base AS (
+        SELECT doc_id, text, greatest(length(text), 1) AS n,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               w -> w <> '')) AS nw
+        FROM corpus),
+    lines AS (
+        SELECT doc_id, trim(l) AS tok
+        FROM corpus, unnest(string_split(text, chr(10))) AS u(l)
+        WHERE trim(l) <> ''),
+    linec AS (SELECT doc_id, tok, count(*) AS c FROM lines GROUP BY doc_id, tok),
+    linef AS (
+        SELECT doc_id,
+               round(sum(c - 1) * 1.0 / greatest(sum(c), 1), 6)
+                 AS dup_line_frac,
+               round(sum((c - 1) * length(tok)) * 1.0
+                     / greatest(sum(c * length(tok)), 1), 6)
+                 AS dup_line_char_frac
+        FROM linec GROUP BY doc_id),
+    paras AS (
+        SELECT doc_id, trim(p) AS tok
+        FROM corpus,
+             unnest(string_split_regex(text, '\\n\\s*\\n')) AS u(p)
+        WHERE trim(p) <> ''),
+    parac AS (SELECT doc_id, tok, count(*) AS c FROM paras GROUP BY doc_id, tok),
+    paraf AS (
+        SELECT doc_id,
+               round(sum(c - 1) * 1.0 / greatest(sum(c), 1), 6)
+                 AS dup_para_frac
+        FROM parac GROUP BY doc_id),
+    words AS (
+        SELECT doc_id, n,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS ws
+        FROM base),
+    {gram_ctes_sql},
+    sig AS (
+        SELECT base.doc_id, base.nw,
+               coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+               coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+               coalesce(dup_para_frac, 0.0) AS dup_para_frac,
+               {gram_cols_sql}
+        FROM base
+        LEFT JOIN linef USING (doc_id)
+        LEFT JOIN paraf USING (doc_id)
+        {gram_joins_sql})
+    SELECT doc_id::BIGINT AS doc_id, nw::BIGINT AS n_words,
+           dup_line_frac, dup_line_char_frac, dup_para_frac,
+           top2_char_frac, top3_char_frac, top4_char_frac,
+           (nw < 50 OR ({keep_sql})) AS keep
+    FROM sig"""
+
+
+SQL_DOC_GOPHER = _gopher_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1317,6 +1459,47 @@ SQL_DEDUP_EXACT = """
     SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
            min(doc_id)::BIGINT AS keep_id
     FROM corpus GROUP BY md5(text)
+"""
+
+
+def q_dedup_pages(spark, sf):
+    """Driver row for the PRODUCTION page-level dedup
+    (pipeline.runner.dedup_pages — the stage every downstream phase sits
+    behind; VERDICT r4 item 1: previously pytest-only): a pages-shaped
+    frame is synthesized from documents (url + utf-8 html bytes), every
+    10th doc mirrored under a lexicographically larger url (must lose to
+    the original), every 13th doc added as a NULL-content page (must
+    pass through unconditionally — the md5(NULL) coalesce-to-url
+    branch).  Returns the surviving url set."""
+    from kgspark.pipeline.runner import dedup_pages
+    d = relational.load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("_id"), "text")
+    base = d.select(
+        F.concat(F.lit("https://example.org/"), "_id").alias("url"),
+        F.encode("text", "UTF-8").alias("html"))
+    mirror = d.filter(F.col("_id").cast("long") % 10 == 0).select(
+        F.concat(F.lit("https://mirror.example.org/"), "_id").alias("url"),
+        F.encode("text", "UTF-8").alias("html"))
+    nulls = d.filter(F.col("_id").cast("long") % 13 == 0).select(
+        F.concat(F.lit("https://null.example.org/"), "_id").alias("url"),
+        F.lit(None).cast("binary").alias("html"))
+    pages = base.unionByName(mirror).unionByName(nulls)
+    return dedup_pages(pages, from_html=True).select("url")
+
+
+# DuckDB md5(varchar) hashes the string's UTF-8 bytes — the same digest
+# Spark computes over the encode(text,'UTF-8') binary column
+SQL_DEDUP_PAGES = """
+    WITH pages AS (
+        SELECT 'https://example.org/' || doc_id::VARCHAR AS url, text
+        FROM documents
+        UNION ALL
+        SELECT 'https://mirror.example.org/' || doc_id::VARCHAR, text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT 'https://null.example.org/' || doc_id::VARCHAR, NULL
+        FROM documents WHERE doc_id % 13 = 0)
+    SELECT min(url) AS url FROM pages GROUP BY coalesce(md5(text), url)
 """
 
 
@@ -2009,10 +2192,11 @@ QUERIES: dict[str, tuple] = {
     "doc_chunk_oversize": (q_doc_chunk_oversize, SQL_DOC_CHUNK_OVERSIZE),
     "doc_chunk_overlap": (q_doc_chunk_overlap, SQL_DOC_CHUNK_OVERLAP),
     # doc_langid/doc_quality/doc_tokens folded into doc_profile (round 4)
-    # to open driver-budget slots; the standalone builders remain for
-    # bench.py and unit tests.
+    # and doc_fingerprint folded in too (round 5) to open driver-budget
+    # slots; the standalone builders remain for bench.py and unit tests.
     "doc_profile": (q_doc_profile, SQL_DOC_PROFILE),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_gopher": (q_doc_gopher, SQL_DOC_GOPHER),
+    "dedup_pages": (q_dedup_pages, SQL_DEDUP_PAGES),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
@@ -2022,7 +2206,11 @@ QUERIES: dict[str, tuple] = {
     "emb_dup_pairs": (q_emb_dup_pairs, SQL_EMB_DUP_PAIRS),
     "emb_ann_topk": (q_emb_ann_topk, SQL_EMB_ANN_TOPK),
     "emb_ivf_topk": (q_emb_ivf_topk, SQL_EMB_IVF_TOPK),
-    "mm_decode_meta": (q_mm_decode_meta, SQL_MM_DECODE_META),
+    # mm_decode_meta dropped from the driver registry in round 5 (slot
+    # freed for doc_gopher/dedup_pages): the fake decoder it exercised
+    # stays oracle-verified INDIRECTLY — mm_resize and mm_frame_sample
+    # run decode_image_meta as their input stage — and directly in
+    # PYTEST_ONLY below; mm_decode_real covers the real codec path.
     "mm_decode_real": (q_mm_decode_real, SQL_MM_DECODE_REAL),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
     "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
@@ -2162,3 +2350,12 @@ for _k in ("pipe_extract_parity", "pipe_extract_triples",
            "pipe_kg_e2e", "pipe_linking"):
     QUERIES[_k] = QUERIES.pop(_k)
 assert len(QUERIES) <= 50, f"driver query budget exceeded: {len(QUERIES)}"
+
+# Oracle-bearing entries folded OUT of the 50-slot driver registry but
+# still exercised by pytest (tests/test_entry_contract.py) and always
+# included in tools/check_oracle.py: same (builder, SQL) contract, zero
+# driver budget.
+PYTEST_ONLY: dict[str, tuple] = {
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "mm_decode_meta": (q_mm_decode_meta, SQL_MM_DECODE_META),
+}

@@ -18,8 +18,8 @@ TABLES = [
 SUBSET = [
     "kg_top_predicates", "kg_standardize_map", "kg_transitive_inference",
     "kg_dedup_triples", "kg_connected_components", "doc_chunk_overlap",
-    "doc_profile", "dedup_exact", "dedup_lsh", "emb_topk",
-    "mm_decode_meta", "mm_decode_real", "ev_sessionize",
+    "doc_profile", "doc_gopher", "dedup_pages", "dedup_exact", "dedup_lsh",
+    "emb_topk", "mm_decode_meta", "mm_decode_real", "ev_sessionize",
 ]
 
 
@@ -46,9 +46,9 @@ def duck():
 
 @pytest.mark.parametrize("name", SUBSET)
 def test_query_matches_oracle(spark, duck, name):
-    from kgspark.querybank import QUERIES
+    from kgspark.querybank import PYTEST_ONLY, QUERIES
 
-    fn, sql = QUERIES[name]
+    fn, sql = {**QUERIES, **PYTEST_ONLY}[name]
     assert sql is not None
     sdf = fn(spark, SF)
     got = _canon([tuple(r) for r in sdf.collect()], sdf.columns)

@@ -110,6 +110,30 @@ def test_sampled_betweenness_all_sources_equals_exact(spark, edges_df):
         assert got[node] == pytest.approx(want, abs=1e-9), node
 
 
+def test_sampled_betweenness_horizon_guard(spark):
+    """VERDICT r4 item 4: a path graph whose diameter exceeds max_depth
+    must RAISE under require_converged (silent truncation would return
+    wrong-but-plausible centralities that a same-depth-unrolled oracle
+    could never catch); a converged wave under the same flag, and the
+    unguarded default, stay unchanged."""
+    from kgspark.pipeline.graph import betweenness_centrality_sampled
+    from kgspark.querybank import _BTW_DEPTH
+
+    # path n0-n1-...-n12: diameter 12 > _BTW_DEPTH (8)
+    edges = [(f"n{i}", f"n{i+1}") for i in range(_BTW_DEPTH + 4)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with pytest.raises(ValueError, match="max_depth"):
+        betweenness_centrality_sampled(
+            df, k_sources=None, max_depth=_BTW_DEPTH, require_converged=True)
+    # unguarded: truncates silently (documented legacy behavior)
+    assert betweenness_centrality_sampled(
+        df, k_sources=None, max_depth=_BTW_DEPTH).count() == len(edges) + 1
+    # guarded but converged: a deep-enough horizon passes
+    out = betweenness_centrality_sampled(
+        df, k_sources=None, max_depth=len(edges) + 1, require_converged=True)
+    assert out.count() == len(edges) + 1
+
+
 def test_sampled_betweenness_all_sources_exact_barbell(spark):
     """Barbell (two triangles joined by a path): bridge nodes carry all
     the betweenness; k=n identity again, on a graph with heavy

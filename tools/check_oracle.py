@@ -48,7 +48,7 @@ def main():
         sf_dir = os.path.join("/root/testdata", sf_dir)  # allow bare "sf0.01"
     only = set(sys.argv[2:])
 
-    from kgspark.querybank import QUERIES
+    from kgspark.querybank import PYTEST_ONLY, QUERIES
     from kgspark.session import get_session
 
     spark = get_session(master="local[8]", app_name="oracle-check",
@@ -60,7 +60,9 @@ def main():
         )
 
     failures = []
-    for name, (fn, sql) in QUERIES.items():
+    # PYTEST_ONLY entries ride along: oracle-bearing but outside the
+    # 50-slot driver budget — checked here so folds never lose coverage
+    for name, (fn, sql) in {**QUERIES, **PYTEST_ONLY}.items():
         if only and name not in only:
             continue
         t0 = time.time()
