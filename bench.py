@@ -124,6 +124,8 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
     }
 
     passes = int(os.environ.get("KGSPARK_BENCH_PASSES", "2"))
+    max_extra = int(os.environ.get("KGSPARK_BENCH_MAX_EXTRA_PASSES", "2"))
+    gate = float(os.environ.get("KGSPARK_BENCH_GATE_RATIO", "1.5"))
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {n: [] for n in bench_queries}
     # JMH-style steady-state measurement: run the whole set `passes`
@@ -132,13 +134,34 @@ def run(spark, sf_dir: str) -> tuple[dict, dict]:
     # inside the VM stays idle — BENCH.md §1), so the min is the least
     # contaminated estimate of engine time; all passes are reported
     # under "runs" for transparency.
-    for _ in range(max(1, passes)):
+    #
+    # Contention gate (VERDICT r4 item 6): when the fastest and slowest
+    # pass totals disagree by more than KGSPARK_BENCH_GATE_RATIO (1.5x),
+    # the run was contended — run extra passes (bounded) so the artifact
+    # of record gets at least one clean-ish pass per query; the final
+    # ratio and pass totals are emitted so a still-contended artifact is
+    # visibly flagged rather than silently trusted.
+    pass_totals: list[float] = []
+
+    def one_pass():
         for name, fn in bench_queries.items():
             t0 = time.time()
             fn(spark, sf_dir)
             raw[name].append(round(time.time() - t0, 3))
+        pass_totals.append(round(sum(v[-1] for v in raw.values()), 3))
+
+    for _ in range(max(1, passes)):
+        one_pass()
+    extra = 0
+    while (len(pass_totals) >= 2 and extra < max_extra
+           and max(pass_totals) / max(min(pass_totals), 1e-9) > gate):
+        one_pass()
+        extra += 1
     timings = {n: min(v) for n, v in raw.items()}
     counters["runs"] = raw
+    counters["pass_totals"] = pass_totals
+    counters["contended"] = bool(
+        max(pass_totals) / max(min(pass_totals), 1e-9) > gate)
     return timings, counters
 
 
@@ -181,6 +204,8 @@ def main():
         "unit": "sec",
         "queries": timings,
         "runs": counters.pop("runs", None),
+        "pass_totals": counters.pop("pass_totals", None),
+        "contended": counters.pop("contended", None),
         "sf": sf,
         "cpus": cpus,
         "throughput": {
