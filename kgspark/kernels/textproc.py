@@ -165,6 +165,12 @@ T2S_MAP: dict[int, str] = {**T2S_EXTENDED, **_T2S_LEXICON}
 _T2S_PHRASE_RE = re.compile(
     "|".join(re.escape(k) for k in sorted(T2S_PHRASES, key=len, reverse=True)))
 
+# Every phrase key contains at least one of these disambiguation
+# characters (asserted in tests), so a page with none of them cannot
+# match any phrase — seven C-level `in` scans gate the (much costlier)
+# ~250-alternative regex search off the common path.
+_T2S_TRIGGERS = "著藉覆甚乾瞭徵"
+
 
 def t2s_convert(text: str) -> str:
     """Traditional→Simplified Chinese conversion (reference analog:
@@ -177,8 +183,10 @@ def t2s_convert(text: str) -> str:
     matches."""
     if not text:
         return text
+    if not any(c in text for c in _T2S_TRIGGERS):
+        return text.translate(T2S_MAP)  # no trigger char → no phrase hit
     m = _T2S_PHRASE_RE.search(text)
-    if m is None:  # overwhelmingly common: no phrase hit → one translate
+    if m is None:
         return text.translate(T2S_MAP)
     out: list[str] = []
     pos = 0

@@ -109,9 +109,11 @@ def folded_entity_map(triples: DataFrame) -> DataFrame:
       with ``element_at`` → ``map_from_entries``.
 
     Every groupBy key is url-prefixed, so the whole chain runs on the
-    single url exchange; measured at 100k pages / 8 cores the map build
-    dropped 17.4 → 6.8 s noop-written (2-core side 47.5 → 18.6 s),
-    bit-identical output (test_parity + the kg_standardize_map oracle).
+    single url exchange; measured at 100k pages (2.51M raw triples,
+    tools/profile_standardize.py, noop-written): 20.5 → 12.4 s at 8
+    cores, 66.3 → 37.7 s at 2 cores vs the row build + re-fold it
+    replaces, bit-identical output (test_parity + the
+    kg_standardize_map oracle).
     Variant keys are unique per url (upstream groupBy(url, entity)),
     which ``map_from_entries`` enforces."""
     ents = (

@@ -174,6 +174,45 @@ class TestT2S:
         # 瞭: liào keeps 瞭, le/liǎo → 了
         assert t2s_convert("瞭望塔上瞭解情況") == "瞭望塔上了解情况"
 
+    def test_t2s_phrase_table_integrity(self):
+        """Round-5 broadened table (VERDICT r4 item 5): every entry's
+        value must be the key with (a) normal single-character
+        simplification, (b) one of the sanctioned context overrides
+        (著→着, 藉→借, 覆→复, 甚→什), or (c) a protected identity —
+        position by position.  Catches any typo'd value wholesale.  Also
+        asserts every key carries a trigger character (the kernel's
+        7-char fast-path gate) and that keys/values pair 1:1 in length."""
+        from kgspark.kernels.t2s_table import T2S_PHRASES
+        from kgspark.kernels.textproc import _T2S_TRIGGERS, T2S_MAP
+
+        overrides = {("著", "着"), ("藉", "借"), ("覆", "复"), ("甚", "什")}
+        for k, v in T2S_PHRASES.items():
+            assert len(k) == len(v), k
+            assert any(c in k for c in _T2S_TRIGGERS), k
+            for kc, vc in zip(k, v):
+                ok = (vc == T2S_MAP.get(ord(kc), kc)  # char-table result
+                      or (kc, vc) in overrides        # context override
+                      or vc == kc)                    # protected identity
+                assert ok, (k, v, kc, vc)
+
+    def test_t2s_phrase_broadened_fixture(self):
+        """A Traditional paragraph exercising the round-5 additions
+        (verb+著 aspect chains, 著 zhuó compounds, potential
+        complements, 覆-reply, 甚麼, 乾清宮) converts phrase-for-phrase
+        the way OpenCC's TSPhrases subset would."""
+        from kgspark.kernels.textproc import t2s_convert
+        trad = ("他拿著行李走著進來，笑著說：「甚麼事這麼急？」"
+                "官員答覆道，乾清宮的修繕工作正伴隨著預算反覆調整，"
+                "著重解決附著在樑柱上的問題；大家沉著應對，"
+                "夜裡誰也睡不著，執著地等著最終批覆。")
+        simp = ("他拿着行李走着进来，笑着说：「什么事这么急？」"
+                "官员答复道，乾清宫的修缮工作正伴随着预算反复调整，"
+                "着重解决附着在梁柱上的问题；大家沉着应对，"
+                "夜里谁也睡不着，执着地等着最终批复。")
+        assert t2s_convert(trad) == simp
+        # zhù senses stay 著 even amid the broadened table
+        assert t2s_convert("著名學者的顯著著作") == "著名学者的显著著作"
+
     def test_t2s_phrase_layer_no_regression(self):
         """Text with no phrase hit must be byte-identical to the pure
         single-character pass (the phrase layer only rewrites matched

@@ -57,11 +57,12 @@ def main(cpus: int, path: str) -> None:
     blocked = ents.withColumn("norm", norm_key(F.col("entity"))).filter(F.col("norm") != "")
     out["ents_agg"] = noop(blocked)
 
+    out["map_folded"] = noop(standardize.folded_entity_map(trip))
     emap = standardize.build_entity_map(trip)
-    out["map_build"] = noop(emap)
+    out["map_build_rows"] = noop(emap)
     maps_fold = emap.groupBy("url").agg(
         F.map_from_entries(F.collect_list(F.struct("variant", "std"))).alias("_m"))
-    out["map_build_plus_fold"] = noop(maps_fold)
+    out["map_rows_plus_refold"] = noop(maps_fold)
     out["standardize_full"] = noop(standardize.standardize(trip, broadcast_map=False))
     print(json.dumps(out))
     spark.stop()
