@@ -30,7 +30,9 @@ Stage map (SURVEY §2.4):
         0.52 → 0.80.  Safe per-group state: forms-per-url is bounded by
         document size (~18 at the reference's chunking), never by corpus
         size, so the collected arrays stay KB-sized at any scale.
-  O-16 apply mapping           → two broadcast-able equi-joins
+  O-16 apply mapping           → ONE url join of the folded
+        map<variant,std> column, subject/object resolved by element_at
+        (broadcast under the size cutoff, shuffle join above)
   O-10 predicate limit, O-18 self-loop filter
 """
 

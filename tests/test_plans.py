@@ -164,6 +164,23 @@ def test_emb_dup_pairs_ann_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_community_topk_has_no_global_window(spark):
+    """The community top-k subtree must plan as TakeOrderedAndProject
+    (distributed per-partition top-k), never a partition-less Window
+    ranking ALL component sizes in one task (VERDICT r4 item 2).  The
+    bounded ≤ k + k·max_pairs seq-numbering window on the final
+    community_inference output is exempt — this targets the sizes
+    ranking, which is |components|-sized at crawl scale."""
+    from kgspark.pipeline import community, relational
+
+    trip = relational.event_triples(spark, SF)
+    edges = trip.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    ranked = community._components_ranked(edges, top_k=5)
+    plan = plan_of(ranked)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_topk_broadcasts_query_side(spark):
     from kgspark.ops import similarity
 
